@@ -1,0 +1,252 @@
+"""User-facing scene/simulation API, shaped like the reference's Python layer.
+
+The reference's user surface is ``PSEv1.integrate.PSEv1(group, T, seed, xi,
+error, function_form, max_strain, nlist_type)`` driving a HOOMD system
+(integrate.py:32, examples/run.py).  Here the same vocabulary drives a pure
+JAX engine:
+
+    import pse_tpu as pse
+
+    sim = pse.Simulation(positions=pos, L=64.0, dt=1e-3)
+    method = pse.integrate.PSEv1(
+        T=1.0, seed=1, xi=0.5, error=1e-3,
+        function_form=pse.shear_function.sine(dt=1e-3, shear_rate=1.0, shear_freq=1.0),
+    )
+    sim.set_integrator(method)
+    sim.enable_shear_box(total_timesteps=...)   # the box_resize analogue
+    sim.run(1000)
+
+Inside ``run`` the whole step — neighbor rebuild, far/near field, Lanczos
+noise, Euler update — executes as one jitted ``lax.scan`` chunk on device;
+the host only syncs at chunk boundaries to check the neighbor-overflow flag
+(and rewinds + regrows capacities if it tripped, the jax-md allocate/reuse
+pattern).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import shear as shear_function
+from .box import Box
+from .integrator import State, StepConfig, make_state, mobility, step as _step
+from .neighbors import grow_spec, make_spec
+from .params import make_params
+
+
+@dataclasses.dataclass
+class PSEv1:
+    """Integration-method description (mirrors integrate.PSEv1 args,
+    integrate.py:32).  ``nlist_type`` is accepted for API parity; all
+    backends map to the TPU cell list ("tree"/"stencil" are GPU-specific
+    space/time tradeoffs with no TPU analogue)."""
+
+    T: float | Callable = 1.0
+    seed: int = 0
+    xi: float = 0.5
+    error: float = 1e-3
+    function_form: Optional[shear_function.ShearFunction] = None
+    max_strain: float = 0.5
+    nlist_type: str = "cell"
+
+    def __post_init__(self):
+        if self.nlist_type.upper() not in ("CELL", "TREE", "STENCIL"):
+            raise ValueError(
+                "Invalid neighborlist method. Valid options are: cell, tree, stencil."
+            )
+
+    def temperature(self, timestep):
+        if callable(self.T):
+            return self.T(timestep)
+        return self.T
+
+    def shear_rate(self, timestep):
+        if self.function_form is None:
+            return 0.0
+        return self.function_form.shear_rate(timestep)
+
+
+class Simulation:
+    """Owns the state pytree, the compiled step, and the host run loop."""
+
+    def __init__(
+        self,
+        positions,
+        L,
+        dt: float,
+        images=None,
+        tilt_xy: float = 0.0,
+        force_fn: Optional[Callable] = None,
+        sync_every: int = 100,
+    ):
+        # force_fn(pos, timestep) -> (N, 3) runs inside jit/scan: it must be
+        # written with jax.numpy (traceable), not numpy.
+        self.positions0 = np.asarray(positions, np.float32)
+        self.n = self.positions0.shape[0]
+        self.L = (float(L),) * 3 if np.isscalar(L) else tuple(float(x) for x in L)
+        self.dt = float(dt)
+        self.force_fn = force_fn
+        self.sync_every = int(sync_every)
+        self.method: Optional[PSEv1] = None
+        self.config: Optional[StepConfig] = None
+        self.shear_variant: Optional[shear_function.ShearVariant] = None
+        self.state = make_state(self.positions0, tilt_xy=tilt_xy)
+        if images is not None:
+            self.state = self.state._replace(images=jnp.asarray(images, jnp.int32))
+        self._run_chunk_cache = {}
+        self.step_timing = []
+
+    # -- setup ------------------------------------------------------------
+
+    def set_integrator(
+        self, method: PSEv1, max_neighbors: int | None = None, verbose: bool = True
+    ):
+        self.method = method
+        params = make_params(
+            xi=method.xi, error=method.error, L=self.L, max_strain=method.max_strain
+        )
+        spec = make_spec(
+            self.n, self.L, params.ewald_cut, max_tilt=method.max_strain,
+            max_neighbors=max_neighbors,
+        )
+        thermal = True
+        if not callable(method.T) and float(method.T) == 0.0:
+            thermal = False
+        self.config = StepConfig(
+            params=params, nbr_spec=spec, thermal=thermal, seed=method.seed
+        )
+        if verbose:
+            # One-time derived-parameter notice, as the reference prints
+            # (Stokes.cc:238-254).
+            print(params.summary())
+        return self
+
+    def enable_shear_box(self, total_timesteps: int, max_strain: float = 0.5):
+        """Register the box-tilting variant (variant.py:15-32 +
+        hoomd.update.box_resize analogue)."""
+        if self.method is None or self.method.function_form is None:
+            raise RuntimeError("set_integrator with a function_form first")
+        self.shear_variant = shear_function.ShearVariant(
+            self.method.function_form, total_timesteps, max_strain
+        )
+        return self
+
+    # -- compiled chunk runner -------------------------------------------
+
+    def _chunk_fn(self, n_steps: int):
+        key = (n_steps, self.config, id(self.force_fn), id(self.shear_variant))
+        if key in self._run_chunk_cache:
+            return self._run_chunk_cache[key]
+
+        config = self.config
+        method = self.method
+        dt = self.dt
+        force_fn = self.force_fn
+        variant = self.shear_variant
+
+        def body(state: State, _):
+            t = state.step
+            forces = (
+                force_fn(state.pos, t)
+                if force_fn is not None
+                else jnp.zeros_like(state.pos)
+            )
+            shear_rate = method.shear_rate(t)
+            new_tilt = variant.value(t + 1) if variant is not None else None
+            new_state, _info = _step(
+                config, state, forces, method.temperature(t), dt, shear_rate, new_tilt
+            )
+            return new_state, None
+
+        @jax.jit
+        def run_chunk(state: State):
+            final, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return final
+
+        self._run_chunk_cache[key] = run_chunk
+        return run_chunk
+
+    # -- host loop --------------------------------------------------------
+
+    def run(self, n_steps: int, callback: Optional[Callable] = None):
+        """Advance n_steps (hoomd.run analogue) with overflow-safe chunking."""
+        if self.config is None:
+            raise RuntimeError("set_integrator first")
+        remaining = int(n_steps)
+        while remaining > 0:
+            chunk = min(self.sync_every, remaining)
+            snapshot = self.state
+            t0 = time.perf_counter()
+            new_state = self._chunk_fn(chunk)(self.state)
+            overflow = bool(new_state.nbr_overflow)
+            elapsed = time.perf_counter() - t0
+            if overflow:
+                # Rewind, grow capacities, recompile, retry this chunk.
+                self.config = dataclasses.replace(
+                    self.config, nbr_spec=grow_spec(self.config.nbr_spec)
+                )
+                self.state = snapshot
+                continue
+            self.state = new_state
+            self.step_timing.append((chunk, elapsed))
+            remaining -= chunk
+            if callback is not None:
+                callback(self)
+        return self
+
+    # -- observables ------------------------------------------------------
+
+    @property
+    def box(self) -> Box:
+        return Box(jnp.asarray(self.L, jnp.float32), self.state.tilt_xy)
+
+    def mobility_matvec(self, forces):
+        """Public deterministic U = M·F at the current configuration."""
+        u, overflow = mobility(
+            self.config, self.state.pos, jnp.asarray(forces, jnp.float32),
+            self.state.tilt_xy,
+        )
+        if bool(overflow):
+            raise RuntimeError("neighbor overflow in mobility; enlarge spec")
+        return u
+
+    def snapshot(self) -> dict:
+        """Checkpoint payload: everything needed to resume (SURVEY.md §5)."""
+        return {
+            "pos": np.asarray(self.state.pos),
+            "images": np.asarray(self.state.images),
+            "step": int(self.state.step),
+            "tilt_xy": float(self.state.tilt_xy),
+            "m_lanczos": int(self.state.m_lanczos),
+            "L": np.asarray(self.L),
+            "dt": self.dt,
+        }
+
+    def save(self, path: str):
+        np.savez(path, **self.snapshot())
+
+    def restore(self, path: str):
+        d = np.load(path)
+        self.state = State(
+            pos=jnp.asarray(d["pos"]),
+            images=jnp.asarray(d["images"]),
+            step=jnp.asarray(int(d["step"]), jnp.int32),
+            tilt_xy=jnp.asarray(float(d["tilt_xy"]), jnp.float32),
+            m_lanczos=jnp.asarray(int(d["m_lanczos"]), jnp.int32),
+            nbr_overflow=jnp.asarray(False),
+        )
+        return self
+
+
+def create_lattice(n_per_side: int, L: float) -> np.ndarray:
+    """Simple-cubic lattice positions (examples/run.py:27-34 analogue)."""
+    a = L / n_per_side
+    grid = (np.arange(n_per_side) + 0.5) * a - L / 2.0
+    x, y, z = np.meshgrid(grid, grid, grid, indexing="ij")
+    return np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1).astype(np.float32)

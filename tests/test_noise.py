@@ -1,0 +1,151 @@
+"""Stochastic-path validation (SURVEY §4.3, §4.6): SPD square roots and
+covariances, plus the counter-based determinism contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pse_tpu as pse
+from pse_tpu import integrator
+from pse_tpu import neighbors as nb
+from pse_tpu.ops import farfield, lanczos, nearfield, noise
+from pse_tpu.params import gridk_arrays
+
+
+def _small_system(n=16, L=12.0, xi=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    params = pse.make_params(xi=xi, error=1e-3, L=L)
+    box = pse.make_box(L)
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    spec = nb.make_spec(n, params.L, params.ewald_cut)
+    config = integrator.StepConfig(params=params, nbr_spec=spec, thermal=True)
+    return config, box, jnp.asarray(pos)
+
+
+def _mreal_dense(config, box, pos):
+    """Dense M_real matrix via repeated matvecs of the jax operator."""
+    n = pos.shape[0]
+    p = config.params
+    nlist = nb.build_neighbor_list(pos, box, config.nbr_spec)
+    coeffs = nearfield.precompute_pair_coeffs(
+        pos, nlist.idx, box, jnp.asarray(p.ewald_table),
+        p.ewald_cut, p.ewald_dr, p.ewald_n,
+    )
+    cols = []
+    for j in range(n):
+        for c in range(3):
+            e = np.zeros((n, 3), np.float32)
+            e[j, c] = 1.0
+            u = nearfield.mreal_matvec(coeffs, jnp.asarray(e), p.self_mobility)
+            cols.append(np.asarray(u).reshape(-1))
+    return np.stack(cols, axis=1), coeffs
+
+
+def test_lanczos_sqrt_matches_dense():
+    config, box, pos = _small_system()
+    p = config.params
+    M, coeffs = _mreal_dense(config, box, pos)
+    lam, Q = np.linalg.eigh(0.5 * (M + M.T))
+    assert lam.min() > 0  # positively split: real part SPD on its own
+    sqrtM = Q @ np.diag(np.sqrt(lam)) @ Q.T
+
+    matvec = lambda vt: nearfield.mreal_matvec_t(coeffs, vt, p.self_mobility)
+    rng = np.random.default_rng(1)
+    for trial in range(3):
+        psi = rng.normal(size=pos.shape).astype(np.float32)
+        u, m_used = lanczos.sqrt_mreal(
+            matvec, jnp.asarray(psi), p.error, m_start=2, m_max=60
+        )
+        u_ref = (sqrtM @ psi.reshape(-1)).reshape(pos.shape)
+        rel = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
+        assert rel < 5e-3, f"trial {trial}: rel={rel}, m={int(m_used)}"
+        assert int(m_used) >= 3
+
+
+def test_wave_noise_covariance():
+    """⟨u_wave u_waveᵀ⟩ = (2T/dt)·M_wave: validates Hermitian construction,
+    Nyquist handling, projection, and every scaling factor at once."""
+    config, box, pos = _small_system(n=4, L=10.0, seed=2)
+    p = config.params
+    T, dt = 1.3, 0.7
+    kvec, W = gridk_arrays(p, 0.0)
+    taps = farfield.compute_taps(pos, box, p)
+
+    # Dense M_wave via the deterministic pipeline.
+    n = pos.shape[0]
+    cols = []
+    for j in range(n):
+        for c in range(3):
+            e = np.zeros((n, 3), np.float32)
+            e[j, c] = 1.0
+            u = farfield.wave_space_velocity(pos, jnp.asarray(e), box, p, kvec, W)
+            cols.append(np.asarray(u).reshape(-1))
+    Mw = np.stack(cols, axis=1)
+
+    @jax.jit
+    def sample(key):
+        nh = noise.wave_space_noise_hat(key, p, kvec, W, T, dt)
+        gv = jnp.fft.ifftn(nh, axes=(1, 2, 3)).real.astype(jnp.float32)
+        return farfield.contract(taps, gv, p)
+
+    nsamp = 6000
+    keys = jax.random.split(jax.random.PRNGKey(0), nsamp)
+    us = np.asarray(jax.vmap(sample)(keys)).reshape(nsamp, -1)
+    cov = us.T @ us / nsamp
+
+    target = 2.0 * T / dt * Mw
+    scale = np.abs(np.diag(target)).max()
+    err = np.abs(cov - target).max() / scale
+    assert err < 0.1, f"max covariance error {err}"
+
+
+def test_brownian_displacement_covariance():
+    """Full positively-split noise: ⟨uuᵀ⟩ = (2T/dt)·(M_wave + M_real)."""
+    config, box, pos = _small_system(n=6, L=10.0, seed=3)
+    p = config.params
+    T, dt = 1.0, 1.0
+
+    # Dense full mobility
+    n = pos.shape[0]
+    cols = []
+    for j in range(n):
+        for c in range(3):
+            e = np.zeros((n, 3), np.float32)
+            e[j, c] = 1.0
+            u, _ = integrator.mobility(config, pos, jnp.asarray(e))
+            cols.append(np.asarray(u).reshape(-1))
+    M = np.stack(cols, axis=1)
+
+    def sample(step):
+        u, m_used, _ = integrator.brownian_displacement(
+            config, pos, 0.0, step, 2, T, dt
+        )
+        return np.asarray(u).reshape(-1)
+
+    nsamp = 4000
+    us = np.stack([sample(s) for s in range(nsamp)])
+    cov = us.T @ us / nsamp
+    target = 2.0 * T / dt * M
+    scale = np.abs(np.diag(target)).max()
+    err = np.abs(cov - target).max() / scale
+    assert err < 0.12, f"max covariance error {err}"
+
+
+def test_determinism_contract():
+    """Same (seed, step) => bitwise-identical draw, independent of history
+    (Brownian.cu:117,176 semantics)."""
+    config, box, pos = _small_system(n=8, L=10.0, seed=4)
+    u1, m1, _ = integrator.brownian_displacement(config, pos, 0.0, 7, 2, 1.0, 0.1)
+    u2, m2, _ = integrator.brownian_displacement(config, pos, 0.0, 7, 5, 1.0, 0.1)
+    u3, _, _ = integrator.brownian_displacement(config, pos, 0.0, 8, 2, 1.0, 0.1)
+    u1b, _, _ = integrator.brownian_displacement(config, pos, 0.0, 7, 2, 1.0, 0.1)
+    # identical everything: bitwise identical
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u1b))
+    # identical step: identical noise draw.  The warm start only changes how
+    # many Lanczos iterations run, so results agree to the solver tolerance
+    # (not bitwise) — same property as the reference's persisted m.
+    scale = np.abs(np.asarray(u1)).max()
+    assert np.abs(np.asarray(u1) - np.asarray(u2)).max() < 5e-3 * scale
+    # different step: different noise
+    assert np.abs(np.asarray(u1) - np.asarray(u3)).max() > 1e-3
