@@ -20,7 +20,6 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
     import jax.numpy as jnp
     import pse_tpu as pse
     from pse_tpu import integrator
-    from pse_tpu import neighbors as nb
 
     vol = n * (4.0 / 3.0) * math.pi / phi
     L = vol ** (1.0 / 3.0)
@@ -29,8 +28,7 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
     pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
 
     params = pse.make_params(xi=xi, error=1e-3, L=L)
-    spec = nb.make_spec(n, params.L, params.ewald_cut)
-    config = integrator.StepConfig(params=params, nbr_spec=spec, thermal=True, seed=1)
+    config = integrator.make_config(params, n, thermal=True, seed=1, engine="blocked")
     state = integrator.make_state(pos)
     forces = jnp.zeros((n, 3), jnp.float32)
 
@@ -56,7 +54,9 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
         "xi": xi,
         "grid": (params.Nx, params.Ny, params.Nz),
         "rcut": params.ewald_cut,
-        "max_neighbors": spec.max_neighbors,
+        "engine": config.engine,
+        "nf_spec": config.nf_spec and (config.nf_spec.bins.n_cells, config.nf_spec.bins.cap),
+        "ff_spec": config.ff_spec and (config.ff_spec.bins.n_cells, config.ff_spec.bins.cap),
         "steps_per_sec": steps_per_sec,
         "particle_steps_per_sec": steps_per_sec * n,
         "m_lanczos": int(state.m_lanczos),

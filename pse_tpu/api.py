@@ -35,8 +35,11 @@ import numpy as np
 
 from . import shear as shear_function
 from .box import Box
-from .integrator import State, StepConfig, make_state, mobility, step as _step
-from .neighbors import grow_spec, make_spec
+from .integrator import (
+    State, StepConfig, grow_config, make_config, make_state, mobility,
+    step as _step,
+)
+from .neighbors import make_spec
 from .params import make_params
 
 
@@ -105,21 +108,22 @@ class Simulation:
     # -- setup ------------------------------------------------------------
 
     def set_integrator(
-        self, method: PSEv1, max_neighbors: int | None = None, verbose: bool = True
+        self,
+        method: PSEv1,
+        max_neighbors: int | None = None,
+        verbose: bool = True,
+        engine: str = "blocked",
     ):
         self.method = method
         params = make_params(
             xi=method.xi, error=method.error, L=self.L, max_strain=method.max_strain
         )
-        spec = make_spec(
-            self.n, self.L, params.ewald_cut, max_tilt=method.max_strain,
-            max_neighbors=max_neighbors,
-        )
         thermal = True
         if not callable(method.T) and float(method.T) == 0.0:
             thermal = False
-        self.config = StepConfig(
-            params=params, nbr_spec=spec, thermal=thermal, seed=method.seed
+        self.config = make_config(
+            params, self.n, thermal=thermal, seed=method.seed, engine=engine,
+            max_tilt=method.max_strain, max_neighbors=max_neighbors,
         )
         if verbose:
             # One-time derived-parameter notice, as the reference prints
@@ -188,9 +192,7 @@ class Simulation:
             elapsed = time.perf_counter() - t0
             if overflow:
                 # Rewind, grow capacities, recompile, retry this chunk.
-                self.config = dataclasses.replace(
-                    self.config, nbr_spec=grow_spec(self.config.nbr_spec)
-                )
+                self.config = grow_config(self.config)
                 self.state = snapshot
                 continue
             self.state = new_state

@@ -1,0 +1,154 @@
+"""Padded cell-major particle storage — the TPU-native data layout.
+
+Measured on TPU, XLA's random gather/scatter runs ~0.11 G elem/s (serialized)
+while dense reads stream at HBM bandwidth.  Every hot interaction in PSE
+(near-field pair sums, NUFFT spread/contract) therefore runs on a *dense,
+regular* representation: particles binned into a fractional-space cell grid,
+each cell padded to a fixed capacity.  Cell neighborhoods become 3-D rolls of
+small arrays; pair interactions become batched (cap × cap) matrix blocks that
+feed the MXU; the only irregular memory ops left are O(N) permutation
+scatters/gathers at step boundaries.
+
+Binning is done in fractional coordinates, so the cell grid stays regular
+under box tilt (the physics uses true minimum-image distances, computed
+component-wise from the raw deltas).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .box import Box, make_fraction
+
+
+class BinSpec(NamedTuple):
+    """Static binning configuration (hashable, baked into jit)."""
+
+    n_cells: tuple      # (ncx, ncy, ncz)
+    cap: int            # padded slots per cell
+
+    @property
+    def n_cells_total(self) -> int:
+        ncx, ncy, ncz = self.n_cells
+        return ncx * ncy * ncz
+
+
+class CellBins(NamedTuple):
+    """Particles in padded cell-major layout.
+
+    All (C, cap) arrays are cell-flat: C = ncx*ncy*ncz with z fastest.
+    Padded slots have mask 0, pid == N, and positions 0 (callers fold the
+    mask into interaction coefficients, so padded values are never read
+    meaningfully)."""
+
+    px: jax.Array       # (C, cap) f32 absolute positions
+    py: jax.Array
+    pz: jax.Array
+    mask: jax.Array     # (C, cap) f32 — 1 valid / 0 pad
+    pid: jax.Array      # (C, cap) i32 — original particle index, N for pad
+    cell_of: jax.Array  # (N,) i32 — flat cell of each particle
+    rank_of: jax.Array  # (N,) i32 — slot within the cell (may exceed cap-1
+                        #            only when overflow is set)
+    overflow: jax.Array  # () bool
+
+
+def choose_cap(mean_occupancy: float, multiple: int = 8, slack_sigmas: float = 5.0) -> int:
+    """Capacity covering Poisson occupancy tails, rounded to a tile multiple."""
+    mu = max(mean_occupancy, 1e-3)
+    cap = mu + slack_sigmas * math.sqrt(mu) + 4.0
+    return int(math.ceil(cap / multiple)) * multiple
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
+    n = pos.shape[0]
+    ncx, ncy, ncz = spec.n_cells
+    cap = spec.cap
+    c_total = spec.n_cells_total
+
+    frac = make_fraction(box, pos)
+    frac = frac - jnp.floor(frac)
+    nc = jnp.array([ncx, ncy, ncz], dtype=pos.dtype)
+    cxyz = jnp.clip(
+        jnp.floor(frac * nc).astype(jnp.int32),
+        0,
+        jnp.array([ncx - 1, ncy - 1, ncz - 1], jnp.int32),
+    )
+    cid = (cxyz[:, 0] * ncy + cxyz[:, 1]) * ncz + cxyz[:, 2]
+
+    # Rank within cell via sort + segment offsets (deterministic).
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
+    rank_sorted = arange - seg_start
+    overflow = (rank_sorted >= cap).any()
+    rank_clip = jnp.minimum(rank_sorted, cap - 1)
+
+    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+    def scat(vals, fill, dtype):
+        out = jnp.full((c_total, cap), fill, dtype)
+        return out.at[sorted_cid, rank_clip].set(vals, mode="drop")
+
+    pos_sorted = pos[order]
+    px = scat(pos_sorted[:, 0], 0.0, pos.dtype)
+    py = scat(pos_sorted[:, 1], 0.0, pos.dtype)
+    pz = scat(pos_sorted[:, 2], 0.0, pos.dtype)
+    pid = scat(order, n, jnp.int32)
+    mask = scat(jnp.ones((n,), pos.dtype), 0.0, pos.dtype)
+
+    return CellBins(
+        px=px, py=py, pz=pz, mask=mask, pid=pid,
+        cell_of=cid, rank_of=rank_of, overflow=overflow,
+    )
+
+
+def to_cells(bins: CellBins, spec: BinSpec, values: jax.Array, fill=0.0) -> jax.Array:
+    """Scatter per-particle values (N,) into (C, cap) cell layout."""
+    out = jnp.full((spec.n_cells_total, spec.cap), fill, values.dtype)
+    return out.at[bins.cell_of, jnp.minimum(bins.rank_of, spec.cap - 1)].set(
+        values, mode="drop"
+    )
+
+
+def from_cells(bins: CellBins, spec: BinSpec, cell_values: jax.Array) -> jax.Array:
+    """Gather per-particle values (N,) back from (C, cap) cell layout."""
+    return cell_values[bins.cell_of, jnp.minimum(bins.rank_of, spec.cap - 1)]
+
+
+def roll_cells(arr: jax.Array, spec: BinSpec, offset) -> jax.Array:
+    """View of ``arr`` (C, ...) where flat-cell c holds the data of cell
+    c + offset (periodic).  offset = (ox, oy, oz)."""
+    ncx, ncy, ncz = spec.n_cells
+    a = arr.reshape((ncx, ncy, ncz) + arr.shape[1:])
+    a = jnp.roll(a, (-offset[0], -offset[1], -offset[2]), axis=(0, 1, 2))
+    return a.reshape(arr.shape)
+
+
+def half_space_offsets(reach: int = 1):
+    """(0,0,0) plus the lexicographically-positive half of the stencil.
+
+    Pair blocks for -o are transposes of those for +o, so only half are
+    built; the matvec applies each block in both directions.
+    """
+    offs = [(0, 0, 0)]
+    rng = range(-reach, reach + 1)
+    for ox in rng:
+        for oy in rng:
+            for oz in rng:
+                if (ox, oy, oz) > (0, 0, 0):
+                    offs.append((ox, oy, oz))
+    return tuple(offs)
+
+
+def full_offsets(reach: int = 1):
+    rng = range(-reach, reach + 1)
+    return tuple((ox, oy, oz) for ox in rng for oy in rng for oz in rng)

@@ -3,36 +3,49 @@
 Fuses the full pipeline of the reference's hot path (SURVEY.md §3.2;
 Stokes.cu:234-365 + Brownian.cu:772-923):
 
-  neighbor rebuild → pair-coefficient precompute → [spread → FFT → Green
-  (+ Hermitian wave noise) → IFFT → contract] + near-field matvec
-  (+ Lanczos real-space noise) → Euler update with shear advection → PBC wrap
+  binning → pair-block build → [spread → FFT → Green (+ Hermitian wave
+  noise) → IFFT → contract] + near-field matvec (+ Lanczos real-space noise)
+  → Euler update with shear advection → PBC wrap
 
-Design notes (TPU-first):
-  * The deterministic and stochastic wave-space parts share the FFTs and the
+Two interchangeable engines compute the particle-space operators:
+
+  * "blocked" (default): cell-blocked dense math (ops/blocked_*) — stencil
+    rolls + batched GEMVs, no large gathers/scatters.  This is the TPU-fast
+    path; XLA's random gather/scatter serializes at ~0.11 G elem/s.
+  * "gather": the direct neighbor-list formulation (ops/nearfield,
+    ops/farfield) — fewer FLOPs, fine on CPU and for small N; kept as the
+    cross-validation reference for the blocked engine.
+
+Shared design notes:
+  * Deterministic and stochastic wave-space parts share the FFTs and the
     contraction, exactly like the fused CUDA wrapper (Brownian.cu:831-872).
-  * The near-field pair coefficients are computed once and reused by the
+  * Near-field pair data is computed once per step and reused by the
     deterministic matvec and every Lanczos iteration.
   * Whether the thermal branch exists is a static (compile-time) choice;
     T itself stays a traced runtime value so temperature ramps don't
     recompile.
   * The Lanczos warm-start m and the RNG step counter live in the State
-    pytree; randomness is keyed (seed, timestep) — bitwise reproducible per
-    step regardless of history (Brownian.cu:117, 176).
+    pytree; randomness is keyed (seed, timestep) — reproducible per step
+    regardless of history (Brownian.cu:117, 176).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .box import Box, wrap
+from .cellbins import bin_particles, from_cells, to_cells
 from .neighbors import NeighborSpec, build_neighbor_list
 from .params import PSEParams, gridk_arrays
 from .ops import farfield, lanczos, nearfield, noise
+from .ops import blocked_farfield as bff
+from .ops import blocked_nearfield as bnf
+from .ops.chebyshev import ChebPair, fit_pair_functions
 
 
 class State(NamedTuple):
@@ -43,7 +56,7 @@ class State(NamedTuple):
     step: jax.Array       # () i32 — timestep counter
     tilt_xy: jax.Array    # () f32 — current box xy tilt (strain)
     m_lanczos: jax.Array  # () i32 — Lanczos warm start (Stokes.h:157; init 2)
-    nbr_overflow: jax.Array  # () bool — sticky neighbor-capacity overflow flag
+    nbr_overflow: jax.Array  # () bool — sticky capacity-overflow flag
 
 
 def make_state(pos, step: int = 0, tilt_xy: float = 0.0) -> State:
@@ -63,13 +76,82 @@ class StepConfig:
     """Static configuration baked into the compiled step."""
 
     params: PSEParams
-    nbr_spec: NeighborSpec
-    thermal: bool = True          # compile the Brownian branches (T > 0 path)
-    m_max: int = 100              # Lanczos cap (Brownian.cu:397)
+    nbr_spec: NeighborSpec                 # gather-engine neighbor shapes
+    thermal: bool = True                   # compile the Brownian branches
+    m_max: int = 100                       # Lanczos cap (Brownian.cu:397)
     seed: int = 0
+    engine: str = "gather"                 # "blocked" | "gather"
+    nf_spec: Optional[bnf.NfSpec] = None
+    ff_spec: Optional[bff.FfSpec] = None
+    cheb: Optional[ChebPair] = None
 
     def __hash__(self):
-        return hash((self.params, self.nbr_spec, self.thermal, self.m_max, self.seed))
+        return hash(
+            (self.params, self.nbr_spec, self.thermal, self.m_max, self.seed,
+             self.engine, self.nf_spec, self.ff_spec)
+        )
+
+
+def make_config(
+    params: PSEParams,
+    n_particles: int,
+    thermal: bool = True,
+    seed: int = 0,
+    m_max: int = 100,
+    engine: str = "blocked",
+    max_tilt: float | None = None,
+    max_neighbors: int | None = None,
+    block_dtype: str = "float32",
+) -> StepConfig:
+    """Build a StepConfig, choosing blocked-engine shapes from the density.
+
+    Falls back to the gather engine when the box/grid is too small to block.
+    """
+    from .neighbors import make_spec
+
+    max_tilt = params.max_strain if max_tilt is None else max_tilt
+    nbr_spec = make_spec(
+        n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
+        max_neighbors=max_neighbors,
+    )
+
+    nf_spec = ff_spec = cheb = None
+    if engine == "blocked":
+        ff_spec = bff.make_ff_spec(params, n_particles)
+        nf_spec = bnf.make_nf_spec(
+            n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
+            block_dtype=block_dtype,
+        )
+        if ff_spec is None:
+            engine = "gather"
+            nf_spec = None
+        else:
+            cheb = fit_pair_functions(
+                params.xi, params.ewald_dr, params.ewald_cut, params.radius
+            )
+
+    return StepConfig(
+        params=params, nbr_spec=nbr_spec, thermal=thermal, m_max=m_max,
+        seed=seed, engine=engine, nf_spec=nf_spec, ff_spec=ff_spec, cheb=cheb,
+    )
+
+
+def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
+    """Enlarge whichever capacities overflowed (host-side; recompiles)."""
+    from .neighbors import grow_spec
+
+    changes = {"nbr_spec": grow_spec(config.nbr_spec, factor)}
+    if config.nf_spec is not None:
+        bins = config.nf_spec.bins
+        changes["nf_spec"] = config.nf_spec._replace(
+            bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
+        )
+    if config.ff_spec is not None:
+        bins = config.ff_spec.bins
+        changes["ff_spec"] = config.ff_spec._replace(
+            bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
+        )
+    return dataclasses.replace(config, **changes)
 
 
 def hash_seed(seed: int) -> int:
@@ -84,19 +166,147 @@ def _box_of(config: StepConfig, tilt) -> Box:
     return Box(jnp.asarray(config.params.L, jnp.float32), jnp.asarray(tilt, jnp.float32))
 
 
-def _pair_coeffs(config: StepConfig, pos, box):
+# ---------------------------------------------------------------------------
+# Engine plumbing: each engine exposes
+#   prepare(pos, box)        -> ctx (pair data + binnings), overflow
+#   mreal_matvec_t(ctx, ft)  -> (3, n_slots) near-field matvec (flat layout)
+#   f_to_slots / u_from_slots: particle (N,3) <-> engine slot layout
+#   spread/contract          : particle forces <-> FFT grid
+# ---------------------------------------------------------------------------
+
+
+class _GatherCtx(NamedTuple):
+    coeffs: nearfield.PairCoeffs
+    taps: farfield.SpreadTaps
+
+
+class _BlockedCtx(NamedTuple):
+    nf_bins: object
+    ff_bins: object
+    blocks: bnf.NfBlocks
+
+
+def _prepare_gather(config, pos, box):
     p = config.params
     nlist = build_neighbor_list(pos, box, config.nbr_spec)
     coeffs = nearfield.precompute_pair_coeffs(
-        pos,
-        nlist.idx,
-        box,
-        jnp.asarray(p.ewald_table),
-        p.ewald_cut,
-        p.ewald_dr,
-        p.ewald_n,
+        pos, nlist.idx, box, jnp.asarray(p.ewald_table),
+        p.ewald_cut, p.ewald_dr, p.ewald_n,
     )
-    return coeffs, nlist.overflow
+    taps = farfield.compute_taps(pos, box, p)
+    return _GatherCtx(coeffs, taps), nlist.overflow
+
+
+def _prepare_blocked(config, pos, box):
+    p = config.params
+    nf_bins = bin_particles(pos, box, config.nf_spec.bins)
+    ff_bins = bin_particles(pos, box, config.ff_spec.bins)
+    blocks = bnf.build_pair_blocks(
+        nf_bins, box, config.nf_spec, config.cheb, p.ewald_cut, p.ewald_dr
+    )
+    overflow = nf_bins.overflow | ff_bins.overflow
+    return _BlockedCtx(nf_bins, ff_bins, blocks), overflow
+
+
+def _nf_cells_of(config, ctx, values_t):
+    """(3, N) particle values -> (3, C, cap) near-field cell layout."""
+    spec = config.nf_spec.bins
+    return jnp.stack(
+        [to_cells(ctx.nf_bins, spec, values_t[c]) for c in range(3)], axis=0
+    )
+
+
+def _nf_cells_back(config, ctx, cells):
+    spec = config.nf_spec.bins
+    return jnp.stack(
+        [from_cells(ctx.nf_bins, spec, cells[c]) for c in range(3)], axis=1
+    )                                                      # (N, 3)
+
+
+def _engine(config: StepConfig):
+    p = config.params
+
+    if config.engine == "gather":
+
+        def mreal_t(ctx, ft):
+            return nearfield.mreal_matvec_t(ctx.coeffs, ft, p.self_mobility)
+
+        def mreal_particles(ctx, forces):
+            return nearfield.mreal_matvec(ctx.coeffs, forces, p.self_mobility)
+
+        def spread(ctx, box, forces):
+            return farfield.spread(ctx.taps, forces, p)
+
+        def contract(ctx, box, grid_v):
+            return farfield.contract(ctx.taps, grid_v, p)
+
+        def slots_of_psi(ctx, key, n):
+            return noise.particle_noise(key, n)             # (N, 3)
+
+        def psi_result_to_particles(ctx, u):
+            return u
+    else:
+        nf_spec = config.nf_spec
+        ff_spec = config.ff_spec
+
+        def mreal_t(ctx, ft):
+            cells = ft.reshape(3, nf_spec.bins.n_cells_total, nf_spec.bins.cap)
+            out = bnf.matvec_cells(
+                ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
+            )
+            return out.reshape(3, -1)
+
+        def mreal_particles(ctx, forces):
+            cells = _nf_cells_of(config, ctx, forces.T)
+            out = bnf.matvec_cells(
+                ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
+            )
+            return _nf_cells_back(config, ctx, out)
+
+        def spread(ctx, box, forces):
+            spec = ff_spec.bins
+            f_cells = jnp.stack(
+                [to_cells(ctx.ff_bins, spec, forces[:, c]) for c in range(3)],
+                axis=0,
+            )
+            return bff.spread_blocked(ctx.ff_bins, f_cells, box, ff_spec, p)
+
+        def contract(ctx, box, grid_v):
+            u_cells = bff.contract_blocked(ctx.ff_bins, grid_v, box, ff_spec, p)
+            spec = ff_spec.bins
+            return jnp.stack(
+                [from_cells(ctx.ff_bins, spec, u_cells[c]) for c in range(3)],
+                axis=1,
+            )
+
+        def slots_of_psi(ctx, key, n):
+            spec = config.nf_spec.bins
+            u = noise.particle_noise(key, spec.n_cells_total * spec.cap)
+            m = ctx.nf_bins.mask.reshape(-1)
+            return u * m[:, None]                          # (C*cap, 3)
+
+        def psi_result_to_particles(ctx, u):
+            spec = config.nf_spec.bins
+            cells = u.T.reshape(3, spec.n_cells_total, spec.cap)
+            return _nf_cells_back(config, ctx, cells)
+
+    class E:
+        pass
+
+    e = E()
+    e.prepare = _prepare_gather if config.engine == "gather" else _prepare_blocked
+    e.mreal_t = mreal_t
+    e.mreal_particles = mreal_particles
+    e.spread = spread
+    e.contract = contract
+    e.slots_of_psi = slots_of_psi
+    e.psi_result_to_particles = psi_result_to_particles
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Public operators
+# ---------------------------------------------------------------------------
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -104,18 +314,23 @@ def mobility(config: StepConfig, pos, forces, tilt_xy=0.0):
     """Deterministic U = M·F — the public validation matvec
     (gpu_stokes_Mobility_wrap, Mobility.cu:729-782).
 
-    Returns (velocities (N,3), neighbor_overflow bool).
+    Returns (velocities (N,3), capacity_overflow bool).
     """
     p = config.params
     pos = jnp.asarray(pos, jnp.float32)
     forces = jnp.asarray(forces, jnp.float32)
     box = _box_of(config, tilt_xy)
+    eng = _engine(config)
 
-    coeffs, overflow = _pair_coeffs(config, pos, box)
-    u_real = nearfield.mreal_matvec(coeffs, forces, p.self_mobility)
+    ctx, overflow = eng.prepare(config, pos, box)
+    u_real = eng.mreal_particles(ctx, forces)
 
     kvec, W = gridk_arrays(p, box.tilt_xy)
-    u_wave = farfield.wave_space_velocity(pos, forces, box, p, kvec, W)
+    grid = eng.spread(ctx, box, forces)
+    ghat = jnp.fft.fftn(grid.astype(jnp.complex64), axes=(1, 2, 3))
+    ghat = farfield.apply_green(ghat, kvec, W)
+    grid_v = jnp.fft.ifftn(ghat, axes=(1, 2, 3)).real.astype(jnp.float32)
+    u_wave = eng.contract(ctx, box, grid_v)
     return u_real + u_wave, overflow
 
 
@@ -126,25 +341,26 @@ def brownian_displacement(config: StepConfig, pos, tilt_xy, step, m_start, T, dt
     covariance tests; the fused step inlines the same pieces.
     """
     p = config.params
+    pos = jnp.asarray(pos, jnp.float32)
     box = _box_of(config, tilt_xy)
+    eng = _engine(config)
     key = jax.random.fold_in(
         jax.random.PRNGKey(hash_seed(config.seed)), jnp.asarray(step, jnp.int32)
     )
     k_psi, k_grid = jax.random.split(key)
 
+    ctx, overflow = eng.prepare(config, pos, box)
+
     kvec, W = gridk_arrays(p, box.tilt_xy)
     noise_hat = noise.wave_space_noise_hat(k_grid, p, kvec, W, T, dt)
-    taps = farfield.compute_taps(pos, box, p)
     grid_v = jnp.fft.ifftn(noise_hat, axes=(1, 2, 3)).real.astype(jnp.float32)
-    u_wave = farfield.contract(taps, grid_v, p)
+    u_wave = eng.contract(ctx, box, grid_v)
 
-    coeffs, overflow = _pair_coeffs(config, pos, box)
-    psi = noise.particle_noise(k_psi, pos.shape[0])
+    psi = eng.slots_of_psi(ctx, k_psi, pos.shape[0])
     u_sqrt, m_used = lanczos.sqrt_mreal(
-        lambda vt: nearfield.mreal_matvec_t(coeffs, vt, p.self_mobility),
-        psi, p.error, m_start, config.m_max,
+        lambda vt: eng.mreal_t(ctx, vt), psi, p.error, m_start, config.m_max
     )
-    u_real = jnp.sqrt(2.0 * T / dt) * u_sqrt
+    u_real = jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
     return u_wave + u_real, m_used, overflow
 
 
@@ -175,42 +391,42 @@ def step(
     n = pos.shape[0]
     T = jnp.asarray(T, jnp.float32)
     dt = jnp.asarray(dt, jnp.float32)
+    eng = _engine(config)
 
     key = jax.random.fold_in(
         jax.random.PRNGKey(hash_seed(config.seed)), state.step
     )
     k_psi, k_grid = jax.random.split(key)
 
-    # --- neighbor structures + pair coefficients (shared by everything) ----
-    coeffs, overflow = _pair_coeffs(config, pos, box)
+    # --- pair data + binnings (shared by everything) -----------------------
+    ctx, overflow = eng.prepare(config, pos, box)
 
     # --- wave space: spread -> FFT -> Green (+noise) -> IFFT -> contract ---
     kvec, W = gridk_arrays(p, box.tilt_xy)
-    taps = farfield.compute_taps(pos, box, p)
-    grid = farfield.spread(taps, forces, p)
+    grid = eng.spread(ctx, box, forces)
     ghat = jnp.fft.fftn(grid.astype(jnp.complex64), axes=(1, 2, 3))
     ghat = farfield.apply_green(ghat, kvec, W)
     if config.thermal:
         ghat = ghat + noise.wave_space_noise_hat(k_grid, p, kvec, W, T, dt)
     grid_v = jnp.fft.ifftn(ghat, axes=(1, 2, 3)).real.astype(jnp.float32)
-    u = farfield.contract(taps, grid_v, p)
+    u = eng.contract(ctx, box, grid_v)
 
-    # --- real space: deterministic matvec (+ Lanczos noise) ---------------
-    u = u + nearfield.mreal_matvec(coeffs, forces, p.self_mobility)
+    # --- real space: deterministic matvec (+ Lanczos noise) ----------------
+    u = u + eng.mreal_particles(ctx, forces)
 
     m_used = state.m_lanczos
     if config.thermal:
-        psi = noise.particle_noise(k_psi, n)
+        psi = eng.slots_of_psi(ctx, k_psi, n)
         u_sqrt, m_used = lanczos.sqrt_mreal(
-            lambda vt: nearfield.mreal_matvec_t(coeffs, vt, p.self_mobility),
+            lambda vt: eng.mreal_t(ctx, vt),
             psi,
             p.error,
             state.m_lanczos,
             config.m_max,
         )
-        u = u + jnp.sqrt(2.0 * T / dt) * u_sqrt
+        u = u + jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
 
-    # --- Euler update with shear advection + PBC wrap ---------------------
+    # --- Euler update with shear advection + PBC wrap ----------------------
     vel = u.at[:, 0].add(jnp.asarray(shear_rate, jnp.float32) * pos[:, 1])
     new_pos = pos + vel * dt
 
