@@ -20,6 +20,9 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
     import jax.numpy as jnp
     import pse_tpu as pse
     from pse_tpu import integrator
+    from pse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     vol = n * (4.0 / 3.0) * math.pi / phi
     L = vol ** (1.0 / 3.0)

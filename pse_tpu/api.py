@@ -131,6 +131,36 @@ class Simulation:
             print(params.summary())
         return self
 
+    def set_params(self, T=None, function_form=None, max_strain: float = 0.5):
+        """Change T / shear protocol on the fly (integrate.py:108-118).
+
+        Like the reference, ξ/error cannot be changed after construction
+        (no re-setParams path is exposed; build a new Simulation for that).
+        """
+        if self.method is None:
+            raise RuntimeError("set_integrator first")
+        if T is not None:
+            self.method = dataclasses.replace(self.method, T=T)
+            thermal = True
+            if not callable(T) and float(T) == 0.0:
+                thermal = False
+            if thermal != self.config.thermal:
+                self.config = dataclasses.replace(self.config, thermal=thermal)
+        if function_form is not None:
+            self.method = dataclasses.replace(
+                self.method, function_form=function_form, max_strain=max_strain
+            )
+        # chunk closures capture self.method — invalidate them on any change
+        self._run_chunk_cache.clear()
+        return self
+
+    def stop_shear(self, max_strain: float = 0.5):
+        """Replace the shear protocol with zero steady shear
+        (integrate.py:121-123)."""
+        return self.set_params(
+            function_form=shear_function.steady(dt=0.0), max_strain=max_strain
+        )
+
     def enable_shear_box(self, total_timesteps: int, max_strain: float = 0.5):
         """Register the box-tilting variant (variant.py:15-32 +
         hoomd.update.box_resize analogue)."""

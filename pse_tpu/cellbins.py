@@ -124,6 +124,22 @@ def from_cells(bins: CellBins, spec: BinSpec, cell_values: jax.Array) -> jax.Arr
     return cell_values[bins.cell_of, jnp.minimum(bins.rank_of, spec.cap - 1)]
 
 
+def vec_to_cells(bins: CellBins, spec: BinSpec, values: jax.Array) -> jax.Array:
+    """(N, 3) particle vectors -> (3, C, cap) in ONE scatter (the per-
+    component version costs 3 serialized scatters)."""
+    slot = bins.cell_of * spec.cap + jnp.minimum(bins.rank_of, spec.cap - 1)
+    flat = jnp.zeros((spec.n_cells_total * spec.cap, 3), values.dtype)
+    flat = flat.at[slot].set(values, mode="drop")
+    return flat.T.reshape(3, spec.n_cells_total, spec.cap)
+
+
+def vec_from_cells(bins: CellBins, spec: BinSpec, cells: jax.Array) -> jax.Array:
+    """(3, C, cap) -> (N, 3) in one gather."""
+    slot = bins.cell_of * spec.cap + jnp.minimum(bins.rank_of, spec.cap - 1)
+    flat = cells.reshape(3, -1).T                  # (C*cap, 3)
+    return flat[slot]
+
+
 def roll_cells(arr: jax.Array, spec: BinSpec, offset) -> jax.Array:
     """View of ``arr`` (C, ...) where flat-cell c holds the data of cell
     c + offset (periodic).  offset = (ox, oy, oz)."""

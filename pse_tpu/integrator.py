@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from .box import Box, wrap
-from .cellbins import bin_particles, from_cells, to_cells
+from .cellbins import bin_particles, from_cells, to_cells, vec_from_cells, vec_to_cells
 from .neighbors import NeighborSpec, build_neighbor_list
 from .params import PSEParams, gridk_arrays
 from .ops import farfield, lanczos, nearfield, noise
@@ -97,17 +97,26 @@ def make_config(
     n_particles: int,
     thermal: bool = True,
     seed: int = 0,
-    m_max: int = 100,
+    m_max: int = 48,
     engine: str = "blocked",
     max_tilt: float | None = None,
     max_neighbors: int | None = None,
-    block_dtype: str = "float32",
+    block_dtype: str = "bfloat16",
+    use_pallas: bool | None = None,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
     Falls back to the gather engine when the box/grid is too small to block.
+    ``use_pallas`` (default: auto — on for TPU backends) selects the fused
+    single-read Pallas near-field matvec kernel.
     """
     from .neighbors import make_spec
+
+    if use_pallas is None:
+        # Measured on v5e: the v1 fused kernel loses to the XLA two-pass GEMV
+        # sweep (per-cell dynamic VMEM accumulation + low MXU utilization on
+        # (cap,cap)x(cap,3) dots).  Keep opt-in until a batched kernel lands.
+        use_pallas = False
 
     max_tilt = params.max_strain if max_tilt is None else max_tilt
     nbr_spec = make_spec(
@@ -120,7 +129,7 @@ def make_config(
         ff_spec = bff.make_ff_spec(params, n_particles)
         nf_spec = bnf.make_nf_spec(
             n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
-            block_dtype=block_dtype,
+            block_dtype=block_dtype, use_pallas=use_pallas,
         )
         if ff_spec is None:
             engine = "gather"
@@ -183,7 +192,8 @@ class _GatherCtx(NamedTuple):
 class _BlockedCtx(NamedTuple):
     nf_bins: object
     ff_bins: object
-    blocks: bnf.NfBlocks
+    blocks: jax.Array      # (noff, 6, C, cap, cap) stacked pair blocks
+    ff_weights: object     # (noff, C, cap, s³) shared NUFFT weights, or None
 
 
 def _prepare_gather(config, pos, box):
@@ -204,23 +214,22 @@ def _prepare_blocked(config, pos, box):
     blocks = bnf.build_pair_blocks(
         nf_bins, box, config.nf_spec, config.cheb, p.ewald_cut, p.ewald_dr
     )
-    overflow = nf_bins.overflow | ff_bins.overflow
-    return _BlockedCtx(nf_bins, ff_bins, blocks), overflow
-
-
-def _nf_cells_of(config, ctx, values_t):
-    """(3, N) particle values -> (3, C, cap) near-field cell layout."""
-    spec = config.nf_spec.bins
-    return jnp.stack(
-        [to_cells(ctx.nf_bins, spec, values_t[c]) for c in range(3)], axis=0
+    ff_weights = (
+        bff.build_weights(ff_bins, box, config.ff_spec, p)
+        if config.ff_spec.store_weights
+        else None
     )
+    overflow = nf_bins.overflow | ff_bins.overflow
+    return _BlockedCtx(nf_bins, ff_bins, blocks, ff_weights), overflow
+
+
+def _nf_cells_of(config, ctx, values):
+    """(N, 3) particle values -> (3, C, cap) near-field cell layout."""
+    return vec_to_cells(ctx.nf_bins, config.nf_spec.bins, values)
 
 
 def _nf_cells_back(config, ctx, cells):
-    spec = config.nf_spec.bins
-    return jnp.stack(
-        [from_cells(ctx.nf_bins, spec, cells[c]) for c in range(3)], axis=1
-    )                                                      # (N, 3)
+    return vec_from_cells(ctx.nf_bins, config.nf_spec.bins, cells)   # (N, 3)
 
 
 def _engine(config: StepConfig):
@@ -249,35 +258,39 @@ def _engine(config: StepConfig):
         nf_spec = config.nf_spec
         ff_spec = config.ff_spec
 
+        if nf_spec.use_pallas:
+            from .ops.pallas_nearfield import matvec_cells_pallas
+
+            def _nf_matvec(ctx, cells):
+                return matvec_cells_pallas(
+                    ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
+                )
+        else:
+
+            def _nf_matvec(ctx, cells):
+                return bnf.matvec_cells(
+                    ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
+                )
+
         def mreal_t(ctx, ft):
             cells = ft.reshape(3, nf_spec.bins.n_cells_total, nf_spec.bins.cap)
-            out = bnf.matvec_cells(
-                ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
-            )
-            return out.reshape(3, -1)
+            return _nf_matvec(ctx, cells).reshape(3, -1)
 
         def mreal_particles(ctx, forces):
-            cells = _nf_cells_of(config, ctx, forces.T)
-            out = bnf.matvec_cells(
-                ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
-            )
-            return _nf_cells_back(config, ctx, out)
+            cells = _nf_cells_of(config, ctx, forces)
+            return _nf_cells_back(config, ctx, _nf_matvec(ctx, cells))
 
         def spread(ctx, box, forces):
-            spec = ff_spec.bins
-            f_cells = jnp.stack(
-                [to_cells(ctx.ff_bins, spec, forces[:, c]) for c in range(3)],
-                axis=0,
+            f_cells = vec_to_cells(ctx.ff_bins, ff_spec.bins, forces)
+            return bff.spread_blocked(
+                ctx.ff_bins, f_cells, box, ff_spec, p, weights=ctx.ff_weights
             )
-            return bff.spread_blocked(ctx.ff_bins, f_cells, box, ff_spec, p)
 
         def contract(ctx, box, grid_v):
-            u_cells = bff.contract_blocked(ctx.ff_bins, grid_v, box, ff_spec, p)
-            spec = ff_spec.bins
-            return jnp.stack(
-                [from_cells(ctx.ff_bins, spec, u_cells[c]) for c in range(3)],
-                axis=1,
+            u_cells = bff.contract_blocked(
+                ctx.ff_bins, grid_v, box, ff_spec, p, weights=ctx.ff_weights
             )
+            return vec_from_cells(ctx.ff_bins, ff_spec.bins, u_cells)
 
         def slots_of_psi(ctx, key, n):
             spec = config.nf_spec.bins
@@ -325,12 +338,12 @@ def mobility(config: StepConfig, pos, forces, tilt_xy=0.0):
     ctx, overflow = eng.prepare(config, pos, box)
     u_real = eng.mreal_particles(ctx, forces)
 
-    kvec, W = gridk_arrays(p, box.tilt_xy)
+    kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
     grid = eng.spread(ctx, box, forces)
-    ghat = jnp.fft.fftn(grid.astype(jnp.complex64), axes=(1, 2, 3))
+    ghat = jnp.fft.rfftn(grid, axes=(1, 2, 3))
     ghat = farfield.apply_green(ghat, kvec, W)
-    grid_v = jnp.fft.ifftn(ghat, axes=(1, 2, 3)).real.astype(jnp.float32)
-    u_wave = eng.contract(ctx, box, grid_v)
+    grid_v = jnp.fft.irfftn(ghat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
+    u_wave = eng.contract(ctx, box, grid_v.astype(jnp.float32))
     return u_real + u_wave, overflow
 
 
@@ -351,10 +364,10 @@ def brownian_displacement(config: StepConfig, pos, tilt_xy, step, m_start, T, dt
 
     ctx, overflow = eng.prepare(config, pos, box)
 
-    kvec, W = gridk_arrays(p, box.tilt_xy)
-    noise_hat = noise.wave_space_noise_hat(k_grid, p, kvec, W, T, dt)
-    grid_v = jnp.fft.ifftn(noise_hat, axes=(1, 2, 3)).real.astype(jnp.float32)
-    u_wave = eng.contract(ctx, box, grid_v)
+    kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
+    noise_hat = noise.wave_space_noise_hat_half(k_grid, p, kvec, W, T, dt)
+    grid_v = jnp.fft.irfftn(noise_hat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
+    u_wave = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     psi = eng.slots_of_psi(ctx, k_psi, pos.shape[0])
     u_sqrt, m_used = lanczos.sqrt_mreal(
@@ -399,31 +412,39 @@ def step(
     k_psi, k_grid = jax.random.split(key)
 
     # --- pair data + binnings (shared by everything) -----------------------
-    ctx, overflow = eng.prepare(config, pos, box)
+    with jax.named_scope("pse_prepare"):
+        ctx, overflow = eng.prepare(config, pos, box)
 
     # --- wave space: spread -> FFT -> Green (+noise) -> IFFT -> contract ---
-    kvec, W = gridk_arrays(p, box.tilt_xy)
-    grid = eng.spread(ctx, box, forces)
-    ghat = jnp.fft.fftn(grid.astype(jnp.complex64), axes=(1, 2, 3))
-    ghat = farfield.apply_green(ghat, kvec, W)
-    if config.thermal:
-        ghat = ghat + noise.wave_space_noise_hat(k_grid, p, kvec, W, T, dt)
-    grid_v = jnp.fft.ifftn(ghat, axes=(1, 2, 3)).real.astype(jnp.float32)
-    u = eng.contract(ctx, box, grid_v)
+    kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
+    with jax.named_scope("pse_spread"):
+        grid = eng.spread(ctx, box, forces)
+    with jax.named_scope("pse_fft"):
+        ghat = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+    with jax.named_scope("pse_green"):
+        ghat = farfield.apply_green(ghat, kvec, W)
+        if config.thermal:
+            ghat = ghat + noise.wave_space_noise_hat_half(k_grid, p, kvec, W, T, dt)
+    with jax.named_scope("pse_ifft"):
+        grid_v = jnp.fft.irfftn(ghat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
+    with jax.named_scope("pse_contract"):
+        u = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     # --- real space: deterministic matvec (+ Lanczos noise) ----------------
-    u = u + eng.mreal_particles(ctx, forces)
+    with jax.named_scope("pse_nearfield"):
+        u = u + eng.mreal_particles(ctx, forces)
 
     m_used = state.m_lanczos
     if config.thermal:
         psi = eng.slots_of_psi(ctx, k_psi, n)
-        u_sqrt, m_used = lanczos.sqrt_mreal(
-            lambda vt: eng.mreal_t(ctx, vt),
-            psi,
-            p.error,
-            state.m_lanczos,
-            config.m_max,
-        )
+        with jax.named_scope("pse_lanczos"):
+            u_sqrt, m_used = lanczos.sqrt_mreal(
+                lambda vt: eng.mreal_t(ctx, vt),
+                psi,
+                p.error,
+                state.m_lanczos,
+                config.m_max,
+            )
         u = u + jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
 
     # --- Euler update with shear advection + PBC wrap ----------------------

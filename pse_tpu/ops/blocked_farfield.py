@@ -40,24 +40,42 @@ class FfSpec(NamedTuple):
     bins: BinSpec           # particle cells == node blocks
     s: tuple                # (sx, sy, sz) nodes per block per axis
     offsets: tuple          # full stencil (reach 1)
+    store_weights: bool = True   # build W once per step, share spread/contract
 
 
-def _pick_block(n_grid: int, p: int) -> int:
-    """Smallest divisor s of the grid dim with s >= P/2 + 1 (so a reach-1
-    stencil covers the Gaussian support)."""
+def _axis_divisors(n_grid: int, p: int):
+    """Divisors s of the grid dim with s >= P/2 + 1 (reach-1 support cover)
+    and at least 3 cells."""
     need = p // 2 + 1
-    for s in range(need, n_grid + 1):
-        if n_grid % s == 0:
-            return s
-    return n_grid
+    return [s for s in range(need, n_grid // 3 + 1) if n_grid % s == 0]
 
 
 def make_ff_spec(params: PSEParams, n_particles: int) -> FfSpec | None:
-    """Returns None when the grid is too small to block (fallback: taps)."""
-    s = tuple(_pick_block(ng, params.gauss_P) for ng in (params.Nx, params.Ny, params.Nz))
-    nc = (params.Nx // s[0], params.Ny // s[1], params.Nz // s[2])
-    if min(nc) < 3:
+    """Choose per-axis block sizes minimizing lane-tile padding of s³.
+
+    The weight blocks are stored/streamed as (C, cap, s³); the minor
+    dimension s³ is padded to a multiple of 128, so (sx·sy·sz) is chosen to
+    sit just above a multiple of 128 (e.g. 8·4·4=128 exactly, 5³=125→128).
+    Returns None when the grid is too small to block (fallback: gather taps).
+    """
+    dims = (params.Nx, params.Ny, params.Nz)
+    cands = [_axis_divisors(ng, params.gauss_P) for ng in dims]
+    if any(not c for c in cands):
         return None
+
+    best = None
+    for sx in cands[0]:
+        for sy in cands[1]:
+            for sz in cands[2]:
+                s3 = sx * sy * sz
+                padded = -(-s3 // 128) * 128
+                waste = padded / s3
+                # prefer minimal pad waste, then smallest block volume
+                key = (round(waste, 3), s3)
+                if best is None or key < best[0]:
+                    best = (key, (sx, sy, sz))
+    s = best[1]
+    nc = (dims[0] // s[0], dims[1] // s[1], dims[2] // s[2])
     mu = n_particles / (nc[0] * nc[1] * nc[2])
     cap = max(8, int(math.ceil((mu + 5.0 * math.sqrt(mu) + 4.0) / 8.0)) * 8)
     cap = min(cap, max(8, int(math.ceil(n_particles / 8.0)) * 8))
@@ -128,27 +146,46 @@ def _offset_weights(
     dz = L[2] * fdz
     dx = (L[0] * fdx)[:, :, None, :] + box.tilt_xy * dyu[:, None, :, :]  # (C,sx,sy,cap)
 
-    w_xy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, None, :, :]))
+    # Layout: particle slot (cap) on the sublane side, node index (s³) minor
+    # — s³ is chosen near a multiple of 128 so the lane tiles are ~full.
+    w_xy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, None, :, :]))     # (C,sx,sy,cap)
     w_z = jnp.exp(-expfac * dz * dz) * mask_r[:, None, :]                # (C,sz,cap)
-    W = w_xy[:, :, :, None, :] * w_z[:, None, None, :, :]
-    return W.reshape(W.shape[0], sx * sy * sz, spec.bins.cap)
+    w_xy = w_xy.transpose(0, 3, 1, 2)                                    # (C,cap,sx,sy)
+    w_z = w_z.transpose(0, 2, 1)                                         # (C,cap,sz)
+    W = w_xy[:, :, :, :, None] * w_z[:, :, None, None, :]                # (C,cap,sx,sy,sz)
+    return W.reshape(W.shape[0], spec.bins.cap, sx * sy * sz)
+
+
+def build_weights(
+    bins: CellBins, box: Box, spec: FfSpec, params: PSEParams
+) -> jax.Array:
+    """All stencil weights (noff, C, cap, s³), built once per step and shared
+    by spread and contract (same Gaussian both directions)."""
+    bcoords = _block_coords(spec)
+    pf = _particle_node_fractions(bins, box, params)
+    ws = []
+    for o in spec.offsets:
+        pfo = tuple(roll_cells(p, spec.bins, o) for p in pf)
+        mo = roll_cells(bins.mask, spec.bins, o)
+        ws.append(_offset_weights(spec, params, box, pfo, mo, o, bcoords))
+    return jnp.stack(ws, axis=0)
 
 
 def _grid_to_blocks(grid: jax.Array, spec: FfSpec) -> jax.Array:
-    """(3, Nx, Ny, Nz) -> (C, s³, 3)."""
+    """(3, Nx, Ny, Nz) -> (C, 3, s³)."""
     ncx, ncy, ncz = spec.bins.n_cells
     sx, sy, sz = spec.s
     g = grid.reshape(3, ncx, sx, ncy, sy, ncz, sz)
-    g = g.transpose(1, 3, 5, 2, 4, 6, 0)
-    return g.reshape(ncx * ncy * ncz, sx * sy * sz, 3)
+    g = g.transpose(1, 3, 5, 0, 2, 4, 6)
+    return g.reshape(ncx * ncy * ncz, 3, sx * sy * sz)
 
 
 def _blocks_to_grid(blocks: jax.Array, spec: FfSpec, params: PSEParams) -> jax.Array:
-    """(C, s³, 3) -> (3, Nx, Ny, Nz)."""
+    """(C, 3, s³) -> (3, Nx, Ny, Nz)."""
     ncx, ncy, ncz = spec.bins.n_cells
     sx, sy, sz = spec.s
-    g = blocks.reshape(ncx, ncy, ncz, sx, sy, sz, 3)
-    g = g.transpose(6, 0, 3, 1, 4, 2, 5)
+    g = blocks.reshape(ncx, ncy, ncz, 3, sx, sy, sz)
+    g = g.transpose(3, 0, 4, 1, 5, 2, 6)
     return g.reshape(3, params.Nx, params.Ny, params.Nz)
 
 
@@ -158,23 +195,28 @@ def spread_blocked(
     box: Box,
     spec: FfSpec,
     params: PSEParams,
+    weights: jax.Array | None = None,   # (noff, C, cap, s³) from build_weights
 ) -> jax.Array:
     """Force-moment grid (3, Nx, Ny, Nz) by per-node gathers (no scatter)."""
-    bcoords = _block_coords(spec)
-    pf = _particle_node_fractions(bins, box, params)
+    if weights is None:
+        bcoords = _block_coords(spec)
+        pf = _particle_node_fractions(bins, box, params)
     c_total = spec.bins.n_cells_total
     s3 = spec.s[0] * spec.s[1] * spec.s[2]
 
-    acc = jnp.zeros((c_total, s3, 3), f_cells.dtype)
-    for o in spec.offsets:
-        pfo = tuple(roll_cells(p, spec.bins, o) for p in pf)
-        mo = roll_cells(bins.mask, spec.bins, o)
-        W = _offset_weights(spec, params, box, pfo, mo, o, bcoords)
+    acc = jnp.zeros((c_total, 3, s3), f_cells.dtype)
+    for oi, o in enumerate(spec.offsets):
+        if weights is None:
+            pfo = tuple(roll_cells(p, spec.bins, o) for p in pf)
+            mo = roll_cells(bins.mask, spec.bins, o)
+            W = _offset_weights(spec, params, box, pfo, mo, o, bcoords)
+        else:
+            W = weights[oi]                                 # (C, cap, s³)
         fr = jnp.stack(
-            [roll_cells(f_cells[c], spec.bins, o) for c in range(3)], axis=-1
-        )                                                   # (C, cap, 3)
+            [roll_cells(f_cells[c], spec.bins, o) for c in range(3)], axis=1
+        )                                                   # (C, 3, cap)
         acc = acc + jnp.einsum(
-            "bnp,bpc->bnc", W, fr, preferred_element_type=jnp.float32
+            "bpn,bcp->bcn", W, fr, preferred_element_type=jnp.float32
         ).astype(acc.dtype)
 
     acc = acc * jnp.asarray(params.spread_prefac, acc.dtype)
@@ -187,23 +229,28 @@ def contract_blocked(
     box: Box,
     spec: FfSpec,
     params: PSEParams,
+    weights: jax.Array | None = None,   # (noff, C, cap, s³) from build_weights
 ) -> jax.Array:
     """Particle velocities in cell layout (3, C, cap): transpose sweep."""
-    bcoords = _block_coords(spec)
-    pf = _particle_node_fractions(bins, box, params)
-    v = _grid_to_blocks(grid_real, spec)                    # (C, s³, 3)
+    if weights is None:
+        bcoords = _block_coords(spec)
+        pf = _particle_node_fractions(bins, box, params)
+    v = _grid_to_blocks(grid_real, spec)                    # (C, 3, s³)
     c_total = spec.bins.n_cells_total
     cap = spec.bins.cap
 
-    u = jnp.zeros((c_total, cap, 3), grid_real.dtype)
-    for o in spec.offsets:
-        pfo = tuple(roll_cells(p, spec.bins, o) for p in pf)
-        mo = roll_cells(bins.mask, spec.bins, o)
-        W = _offset_weights(spec, params, box, pfo, mo, o, bcoords)
+    u = jnp.zeros((c_total, 3, cap), grid_real.dtype)
+    for oi, o in enumerate(spec.offsets):
+        if weights is None:
+            pfo = tuple(roll_cells(p, spec.bins, o) for p in pf)
+            mo = roll_cells(bins.mask, spec.bins, o)
+            W = _offset_weights(spec, params, box, pfo, mo, o, bcoords)
+        else:
+            W = weights[oi]                                 # (C, cap, s³)
         contrib = jnp.einsum(
-            "bnp,bnc->bpc", W, v, preferred_element_type=jnp.float32
+            "bpn,bcn->bcp", W, v, preferred_element_type=jnp.float32
         ).astype(u.dtype)
         u = u + roll_cells(contrib, spec.bins, (-o[0], -o[1], -o[2]))
 
     scale = params.quadW * params.spread_prefac
-    return (scale * u).transpose(2, 0, 1)                   # (3, C, cap)
+    return (scale * u).transpose(1, 0, 2)                   # (3, C, cap)

@@ -39,18 +39,12 @@ class NfSpec(NamedTuple):
     bins: BinSpec
     offsets: tuple          # half-space stencil offsets, (0,0,0) first
     block_dtype: str = "float32"   # storage dtype for the pair blocks
+    use_pallas: bool = False       # fused single-read Pallas matvec kernel
 
 
-class NfBlocks(NamedTuple):
-    """Dense pair blocks: each (noff, C, cap, cap).  Symmetric components of
-    the 3x3 tensor: xx, xy, xz, yy, yz, zz."""
-
-    axx: jax.Array
-    axy: jax.Array
-    axz: jax.Array
-    ayy: jax.Array
-    ayz: jax.Array
-    azz: jax.Array
+# Pair blocks are stored as ONE stacked array (noff, 6, C, cap, cap); axis 1
+# holds the symmetric tensor components in order (xx, xy, xz, yy, yz, zz).
+# A single buffer lets the Pallas kernel stream blocks with one BlockSpec.
 
 
 def make_nf_spec(
@@ -60,6 +54,7 @@ def make_nf_spec(
     max_tilt: float = 0.5,
     target_cap: int = 128,
     block_dtype: str = "float32",
+    use_pallas: bool = False,
 ) -> NfSpec:
     """Choose cell counts / capacity.
 
@@ -96,6 +91,7 @@ def make_nf_spec(
         bins=BinSpec(n_cells=n_cells, cap=cap),
         offsets=half_space_offsets(1),
         block_dtype=block_dtype,
+        use_pallas=use_pallas,
     )
 
 
@@ -106,14 +102,14 @@ def build_pair_blocks(
     cheb: ChebPair,
     ewald_cut: float,
     ewald_dr: float,
-) -> NfBlocks:
+) -> jax.Array:
     """One dense sweep over the half stencil building the 6 tensor blocks."""
     cap = spec.bins.cap
     dtype = jnp.dtype(spec.block_dtype)
     cut2 = ewald_cut * ewald_cut
     dr2 = ewald_dr * ewald_dr
 
-    outs = {k: [] for k in ("xx", "xy", "xz", "yy", "yz", "zz")}
+    per_offset = []
     eye = jnp.eye(cap, dtype=bool)
 
     for o in spec.offsets:
@@ -144,25 +140,25 @@ def build_pair_blocks(
         ey = dy * inv_d
         ez = dz * inv_d
 
-        outs["xx"].append((imrr + bco * ex * ex).astype(dtype))
-        outs["xy"].append((bco * ex * ey).astype(dtype))
-        outs["xz"].append((bco * ex * ez).astype(dtype))
-        outs["yy"].append((imrr + bco * ey * ey).astype(dtype))
-        outs["yz"].append((bco * ey * ez).astype(dtype))
-        outs["zz"].append((imrr + bco * ez * ez).astype(dtype))
+        per_offset.append(
+            jnp.stack(
+                [
+                    (imrr + bco * ex * ex).astype(dtype),
+                    (bco * ex * ey).astype(dtype),
+                    (bco * ex * ez).astype(dtype),
+                    (imrr + bco * ey * ey).astype(dtype),
+                    (bco * ey * ez).astype(dtype),
+                    (imrr + bco * ez * ez).astype(dtype),
+                ],
+                axis=0,
+            )
+        )
 
-    return NfBlocks(
-        axx=jnp.stack(outs["xx"]),
-        axy=jnp.stack(outs["xy"]),
-        axz=jnp.stack(outs["xz"]),
-        ayy=jnp.stack(outs["yy"]),
-        ayz=jnp.stack(outs["yz"]),
-        azz=jnp.stack(outs["zz"]),
-    )
+    return jnp.stack(per_offset, axis=0)       # (noff, 6, C, cap, cap)
 
 
 def matvec_cells(
-    blocks: NfBlocks,
+    blocks: jax.Array,         # (noff, 6, C, cap, cap) stacked pair blocks
     spec: NfSpec,
     bins: CellBins,
     f_cells: jax.Array,        # (3, C, cap) — padded slots MUST be zero
@@ -188,8 +184,8 @@ def matvec_cells(
         ).astype(dtype)
 
     for oi, o in enumerate(spec.offsets):
-        axx, axy, axz = blocks.axx[oi], blocks.axy[oi], blocks.axz[oi]
-        ayy, ayz, azz = blocks.ayy[oi], blocks.ayz[oi], blocks.azz[oi]
+        axx, axy, axz = blocks[oi, 0], blocks[oi, 1], blocks[oi, 2]
+        ayy, ayz, azz = blocks[oi, 3], blocks[oi, 4], blocks[oi, 5]
         if o == (0, 0, 0):
             ux += gemv(axx, fx) + gemv(axy, fy) + gemv(axz, fz)
             uy += gemv(axy, fx) + gemv(ayy, fy) + gemv(ayz, fz)

@@ -88,7 +88,7 @@ def sqrt_mreal(
     psi_m_psi = _dot(psi_flat, mpsi) / (psinorm * psinorm)
 
     v0 = psi_flat / vnorm
-    warm = jnp.maximum(jnp.asarray(m_start, jnp.int32) - 1, 1)
+    warm = jnp.clip(jnp.asarray(m_start, jnp.int32) - 1, 1, m_max - 1)
 
     def lanczos_iter(state: _LanczosState) -> _LanczosState:
         j = state.j
@@ -103,13 +103,24 @@ def sqrt_mreal(
         breakdown = nb < eps_breakdown
         vnext = w / jnp.where(breakdown, 1.0, nb)
 
-        f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
-        vel = jnp.einsum(
-            "m,mf->f", f, V, preferred_element_type=jnp.float32
-        ).astype(dtype)
-        stepnorm = jnp.sqrt(
-            _dot(vel - state.vel_old, vel - state.vel_old) / psi_m_psi
-        )
+        # The T^{1/2}e1 assembly (eigh + basis contraction) only matters once
+        # the warm-started iteration count is reached; skip it before that
+        # (the reference likewise computes its first vel after m_in-1
+        # iterations, Brownian.cu:463-523).
+        def assemble(_):
+            f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
+            vel = jnp.einsum(
+                "m,mf->f", f, V, preferred_element_type=jnp.float32
+            ).astype(dtype)
+            stepnorm = jnp.sqrt(
+                _dot(vel - state.vel_old, vel - state.vel_old) / psi_m_psi
+            )
+            return vel, stepnorm
+
+        def skip(_):
+            return state.vel, state.stepnorm
+
+        vel, stepnorm = jax.lax.cond(j + 1 >= warm, assemble, skip, None)
 
         return _LanczosState(
             j=j + 1,

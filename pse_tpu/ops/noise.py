@@ -34,6 +34,74 @@ def particle_noise(key: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
     return jax.random.uniform(key, (n, 3), dtype=dtype, minval=-SQRT3, maxval=SQRT3)
 
 
+def _project_and_scale(f, kvec, W, params, T, dt):
+    """Transverse-project the random field and apply the B^{1/2} amplitude
+    (shared by the full- and half-spectrum constructions)."""
+    n_total = params.n_grid_total
+    k2 = jnp.sum(kvec * kvec, axis=-1)
+    k2_safe = jnp.where(k2 > 0, k2, 1.0)
+    kv = jnp.moveaxis(kvec, -1, 0)
+    kdF = jnp.sum(kv * f, axis=0) / k2_safe
+    f = f - kv * kdF[None]
+
+    k = jnp.sqrt(k2_safe)
+    sinc = jnp.sin(k) / k
+    fac = jnp.sqrt(2.0 * T / (dt * params.quadW) * n_total)
+    b12 = jnp.sqrt(W) * sinc
+    amp = jnp.where(k2 > 0, fac * b12, 0.0)
+    return (f * amp[None]).astype(jnp.complex64)
+
+
+def wave_space_noise_hat_half(
+    key: jax.Array,
+    params: PSEParams,
+    kvec: jax.Array,    # (Nx, Ny, Nzh, 3) from gridk_arrays(..., half=True)
+    W: jax.Array,       # (Nx, Ny, Nzh)
+    T,
+    dt,
+) -> jax.Array:
+    """Half-spectrum (rfft) random k-space velocity increment.
+
+    Returns (3, Nx, Ny, Nz//2+1) complex64 to add to the Green-scaled rfft
+    spectrum before ``irfftn``.  Modes with 0 < kz < Nz/2 are free complex
+    draws (their conjugates live in the discarded half-spectrum); the kz=0
+    plane — and the kz=Nz/2 plane for even Nz — must be self-Hermitian under
+    (i,j) → (−i,−j), which reuses the 3-D conjugate-pair maps with Nz=1.
+    Per-mode variances match the full-grid construction exactly.
+    """
+    Nx, Ny, Nz = params.Nx, params.Ny, params.Nz
+    nzh = Nz // 2 + 1
+    u = jax.random.uniform(
+        key, (6, Nx, Ny, nzh), dtype=jnp.float32, minval=-SQRT3D2, maxval=SQRT3D2
+    )
+    re, im = u[:3], u[3:]
+
+    conj2, gen2, selfc2, origin2 = hermitian_noise_maps(Nx, Ny, 1)
+    conj2 = jnp.asarray(conj2[:, :, 0])           # (Nx, Ny) flat idx = i*Ny+j
+    gen2 = jnp.asarray(gen2[:, :, 0])
+    selfc2 = jnp.asarray(selfc2[:, :, 0])
+    origin2 = jnp.asarray(origin2[:, :, 0])
+
+    def hermitize_plane(re_p, im_p):              # (3, Nx, Ny) each
+        re_flat = re_p.reshape(3, -1)
+        im_flat = im_p.reshape(3, -1)
+        re_h = jnp.where(gen2[None], re_p, re_flat[:, conj2].reshape(3, Nx, Ny))
+        im_h = jnp.where(gen2[None], im_p, -im_flat[:, conj2].reshape(3, Nx, Ny))
+        re_h = jnp.where(selfc2[None], SQRT2 * re_p, re_h)
+        im_h = jnp.where((selfc2 | origin2)[None], 0.0, im_h)
+        re_h = jnp.where(origin2[None], 0.0, re_h)
+        return re_h, im_h
+
+    planes = [0] + ([nzh - 1] if Nz % 2 == 0 and Nz > 1 else [])
+    for pz in planes:
+        rh, ih = hermitize_plane(re[..., pz], im[..., pz])
+        re = re.at[..., pz].set(rh)
+        im = im.at[..., pz].set(ih)
+
+    f = re + 1j * im
+    return _project_and_scale(f, kvec, W, params, T, dt)
+
+
 def wave_space_noise_hat(
     key: jax.Array,
     params: PSEParams,
@@ -79,19 +147,4 @@ def wave_space_noise_hat(
     re_part = jnp.where(origin[None], 0.0, re_part)
 
     f = re_part + 1j * im_part                       # (3, Nx, Ny, Nz) complex
-
-    # Transverse projection (I - k̂k̂) per node.
-    k2 = jnp.sum(kvec * kvec, axis=-1)
-    k2_safe = jnp.where(k2 > 0, k2, 1.0)
-    kv = jnp.moveaxis(kvec, -1, 0)
-    kdF = jnp.sum(kv * f, axis=0) / k2_safe
-    f = f - kv * kdF[None]
-
-    # B^{1/2} scale with the finite-size sinc factor; amplitude carries the
-    # thermal variance and FFT normalization (see docstring).
-    k = jnp.sqrt(k2_safe)
-    sinc = jnp.sin(k) / k
-    fac = jnp.sqrt(2.0 * T / (dt * params.quadW) * n_total)
-    b12 = jnp.sqrt(W) * sinc
-    amp = jnp.where(k2 > 0, fac * b12, 0.0)
-    return (f * amp[None]).astype(jnp.complex64)
+    return _project_and_scale(f, kvec, W, params, T, dt)

@@ -268,7 +268,7 @@ def hermitian_noise_maps(Nx: int, Ny: int, Nz: int):
     return conj_idx, gen, is_self_conj, origin
 
 
-def gridk_arrays(params: PSEParams, tilt_xy, dtype=jnp.float32):
+def gridk_arrays(params: PSEParams, tilt_xy, dtype=jnp.float32, half: bool = False):
     """Sheared reciprocal-lattice vectors and Green's-function scale.
 
     Device-side equivalent of gpu_stokes_SetGridk_kernel (Helper.cu:284-332),
@@ -279,6 +279,9 @@ def gridk_arrays(params: PSEParams, tilt_xy, dtype=jnp.float32):
     6π (1 + k²/4ξ²) exp(−(1−η) k²/4ξ²) / k², W(0) = 0.  NOTE: unlike the
     reference we do NOT fold the 1/(Nx·Ny·Nz) FFT normalization into W —
     jnp.fft.ifftn is already normalized.
+
+    With ``half=True`` the z axis covers only the rfft half-spectrum
+    kz ∈ [0, Nz/2] (length Nz//2 + 1).
     """
     Nx, Ny, Nz = params.Nx, params.Ny, params.Nz
     L = params.L
@@ -290,7 +293,12 @@ def gridk_arrays(params: PSEParams, tilt_xy, dtype=jnp.float32):
 
     wi = _wrapped(Nx, Nx)[:, None, None]
     wj = _wrapped(Ny, Ny)[None, :, None]
-    wk = _wrapped(Nz, Nz)[None, None, :]
+    if half:
+        Nz_out = Nz // 2 + 1
+        wk = jnp.arange(Nz_out, dtype=dtype)[None, None, :]
+        Nz = Nz_out
+    else:
+        wk = _wrapped(Nz, Nz)[None, None, :]
 
     tilt = jnp.asarray(tilt_xy, dtype=dtype)
     kx = TWO_PI * wi / L[0]

@@ -1,0 +1,99 @@
+"""Simulation / PSEv1 scene-API tests (reference integrate.py surface)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pse_tpu as pse
+
+
+def _sim(n_side=4, L=20.0, dt=1e-3, T=1.0, seed=3, **kw):
+    sim = pse.Simulation(
+        positions=pse.create_lattice(n_side, L), L=L, dt=dt, sync_every=5
+    )
+    sim.set_integrator(
+        pse.integrate.PSEv1(T=T, seed=seed, xi=0.5, error=1e-3, **kw),
+        verbose=False, engine="gather",
+    )
+    return sim
+
+
+def test_run_advances_and_moves_particles():
+    sim = _sim()
+    p0 = sim.snapshot()["pos"].copy()
+    sim.run(12)
+    s = sim.snapshot()
+    assert s["step"] == 12
+    assert np.abs(s["pos"] - p0).max() > 1e-4
+
+
+def test_athermal_zero_force_is_static():
+    sim = _sim(T=0.0)
+    p0 = sim.snapshot()["pos"].copy()
+    sim.run(5)
+    np.testing.assert_allclose(sim.snapshot()["pos"], p0, atol=1e-7)
+
+
+def test_checkpoint_roundtrip_determinism():
+    sim = _sim()
+    sim.run(5)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        sim.save(path)
+        sim.run(5)
+        target = sim.snapshot()["pos"]
+
+        sim2 = _sim()
+        sim2.restore(path)
+        sim2.run(5)
+        np.testing.assert_array_equal(sim2.snapshot()["pos"], target)
+
+
+def test_set_params_changes_temperature():
+    sim = _sim(T=1.0)
+    sim.run(2)
+    sim.set_params(T=0.0)
+    p0 = sim.snapshot()["pos"].copy()
+    sim.run(3)
+    np.testing.assert_allclose(sim.snapshot()["pos"], p0, atol=1e-7)
+
+
+def test_stop_shear():
+    ff = pse.shear_function.sine(dt=1e-3, shear_rate=1.0, shear_freq=1.0, zero=0)
+    sim = _sim(T=0.0, function_form=ff)
+    sim.run(3)
+    sim.stop_shear()
+    assert float(sim.method.function_form.shear_rate(100)) == 0.0
+
+
+def test_shear_box_tilts_and_advects():
+    ff = pse.shear_function.steady(dt=1e-3, shear_rate=2.0, zero=0)
+    sim = _sim(T=0.0, function_form=ff)
+    sim.enable_shear_box(total_timesteps=10000)
+    sim.run(10)
+    s = sim.snapshot()
+    # tilt follows strain = rate * t * dt
+    np.testing.assert_allclose(s["tilt_xy"], 2.0 * 10 * 1e-3, atol=1e-5)
+    # particles advected in x proportionally to y
+    disp_x = s["pos"][:, 0] - pse.create_lattice(4, 20.0)[:, 0]
+    y = pse.create_lattice(4, 20.0)[:, 1]
+    np.testing.assert_allclose(disp_x, 2.0 * y * 10 * 1e-3, atol=1e-4)
+
+
+def test_mobility_matvec_surface():
+    sim = _sim(T=0.0)
+    F = np.zeros((64, 3), np.float32)
+    F[:, 2] = 1.0
+    u = np.asarray(sim.mobility_matvec(F))
+    assert u.shape == (64, 3)
+    # equal forces on a lattice: velocities equal by symmetry, pointing +z
+    assert u[:, 2].std() < 1e-4 * abs(u[:, 2].mean())
+    assert u[:, 2].mean() > 0
+
+
+def test_invalid_nlist_type():
+    with pytest.raises(ValueError):
+        pse.integrate.PSEv1(nlist_type="octree")

@@ -83,10 +83,15 @@ def test_wave_noise_covariance():
             cols.append(np.asarray(u).reshape(-1))
     Mw = np.stack(cols, axis=1)
 
+    kvec_h, W_h = gridk_arrays(p, 0.0, half=True)
+
     @jax.jit
     def sample(key):
-        nh = noise.wave_space_noise_hat(key, p, kvec, W, T, dt)
-        gv = jnp.fft.ifftn(nh, axes=(1, 2, 3)).real.astype(jnp.float32)
+        # the production (rfft half-spectrum) noise path
+        nh = noise.wave_space_noise_hat_half(key, p, kvec_h, W_h, T, dt)
+        gv = jnp.fft.irfftn(nh, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3)).astype(
+            jnp.float32
+        )
         return farfield.contract(taps, gv, p)
 
     nsamp = 6000
@@ -98,6 +103,41 @@ def test_wave_noise_covariance():
     scale = np.abs(np.diag(target)).max()
     err = np.abs(cov - target).max() / scale
     assert err < 0.1, f"max covariance error {err}"
+
+
+def test_half_spectrum_noise_is_hermitian_on_planes():
+    """rfft noise: the kz=0 plane must satisfy H(-i,-j) = conj(H(i,j)) so
+    irfftn yields a correctly-distributed real field.
+
+    Exception (shared with the reference): at Nyquist rows/columns the
+    wrapped wavevector does not flip sign under conjugation (k' != -k), so
+    the transverse projector differs between partners and breaks exact
+    symmetry there.  Those modes carry Green weight ~ `error` by the grid
+    sizing, so we only require their asymmetry to be small relative to the
+    global noise scale."""
+    for L in (10.0, 15.0):  # grids 10 (even) and 15 (odd)
+        p = pse.make_params(xi=0.5, error=1e-3, L=L)
+        kvec, W = gridk_arrays(p, 0.0, half=True)
+        nh = np.asarray(
+            noise.wave_space_noise_hat_half(
+                jax.random.PRNGKey(0), p, kvec, W, 1.0, 1e-3
+            )
+        )
+        scale = np.abs(nh).max()
+        plane = nh[:, :, :, 0]                   # (3, Nx, Ny)
+        flipped = plane[:, (-np.arange(p.Nx)) % p.Nx][
+            :, :, (-np.arange(p.Ny)) % p.Ny
+        ]
+        dev = np.abs(flipped - np.conj(plane))
+        # Exact (to f32) away from Nyquist rows/columns
+        mask = np.ones((p.Nx, p.Ny), bool)
+        if p.Nx % 2 == 0:
+            mask[p.Nx // 2, :] = False
+        if p.Ny % 2 == 0:
+            mask[:, p.Ny // 2] = False
+        assert dev[:, mask].max() < 1e-3 * scale, f"L={L}"
+        # Bounded at the suppressed-mode scale on Nyquist lines
+        assert dev.max() < 0.02 * scale, f"L={L} nyquist"
 
 
 def test_brownian_displacement_covariance():
