@@ -259,10 +259,10 @@ def _engine(config: StepConfig):
         ff_spec = config.ff_spec
 
         if nf_spec.use_pallas:
-            from .ops.pallas_nearfield import matvec_cells_pallas
+            from .ops.pallas_nearfield import matvec_cells_pallas_rows
 
             def _nf_matvec(ctx, cells):
-                return matvec_cells_pallas(
+                return matvec_cells_pallas_rows(
                     ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
                 )
         else:
