@@ -39,7 +39,6 @@ from .integrator import (
     State, StepConfig, grow_config, make_config, make_state, mobility,
     step as _step,
 )
-from .neighbors import make_spec
 from .params import make_params
 
 
@@ -57,6 +56,10 @@ class PSEv1:
     function_form: Optional[shear_function.ShearFunction] = None
     max_strain: float = 0.5
     nlist_type: str = "cell"
+    # Reference arg parity (integrate.py:32): the reference integrates a HOOMD
+    # particle group; here the method always acts on the Simulation's full
+    # particle set (None), matching the reference's canonical group.all usage.
+    group: object = None
 
     def __post_init__(self):
         if self.nlist_type.upper() not in ("CELL", "TREE", "STENCIL"):

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from .box import Box, wrap
-from .cellbins import bin_particles, from_cells, to_cells, vec_from_cells, vec_to_cells
+from .cellbins import bin_particles, vec_from_cells, vec_to_cells
 from .neighbors import NeighborSpec, build_neighbor_list
 from .params import PSEParams, gridk_arrays
 from .ops import farfield, lanczos, nearfield, noise
@@ -107,15 +107,13 @@ def make_config(
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
     Falls back to the gather engine when the box/grid is too small to block.
-    ``use_pallas`` (default: auto — on for TPU backends) selects the fused
-    single-read Pallas near-field matvec kernel.
+    ``use_pallas`` opts into the fused Pallas near-field matvec kernels;
+    measured slower than the XLA formulation on v5e (see
+    ops/pallas_nearfield.py), so the default stays off.
     """
     from .neighbors import make_spec
 
     if use_pallas is None:
-        # Measured on v5e: the v1 fused kernel loses to the XLA two-pass GEMV
-        # sweep (per-cell dynamic VMEM accumulation + low MXU utilization on
-        # (cap,cap)x(cap,3) dots).  Keep opt-in until a batched kernel lands.
         use_pallas = False
 
     max_tilt = params.max_strain if max_tilt is None else max_tilt

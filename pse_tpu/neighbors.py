@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .box import Box, make_fraction, min_image, min_image_components
+from .box import Box, make_fraction, min_image_components
 
 
 class NeighborSpec(NamedTuple):

@@ -22,7 +22,6 @@ chosen near 128 so the stored minor dimension matches the TPU lane tile.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax
