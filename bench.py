@@ -31,7 +31,11 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
     pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
 
     params = pse.make_params(xi=xi, error=1e-3, L=L)
-    config = integrator.make_config(params, n, thermal=True, seed=1, engine="blocked")
+    # Pure Brownian workload (no external forces): the deterministic M·F
+    # branch compiles out (the reference computes M·0 every step).
+    config = integrator.make_config(
+        params, n, thermal=True, seed=1, engine="blocked", has_forces=False
+    )
     state = integrator.make_state(pos)
     forces = jnp.zeros((n, 3), jnp.float32)
 

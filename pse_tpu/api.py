@@ -127,6 +127,7 @@ class Simulation:
         self.config = make_config(
             params, self.n, thermal=thermal, seed=method.seed, engine=engine,
             max_tilt=method.max_strain, max_neighbors=max_neighbors,
+            has_forces=self.force_fn is not None,
         )
         if verbose:
             # One-time derived-parameter notice, as the reference prints

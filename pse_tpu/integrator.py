@@ -84,11 +84,12 @@ class StepConfig:
     nf_spec: Optional[bnf.NfSpec] = None
     ff_spec: Optional[bff.FfSpec] = None
     cheb: Optional[ChebPair] = None
+    has_forces: bool = True                # compile the deterministic M·F path
 
     def __hash__(self):
         return hash(
             (self.params, self.nbr_spec, self.thermal, self.m_max, self.seed,
-             self.engine, self.nf_spec, self.ff_spec)
+             self.engine, self.nf_spec, self.ff_spec, self.has_forces)
         )
 
 
@@ -103,6 +104,7 @@ def make_config(
     max_neighbors: int | None = None,
     block_dtype: str = "bfloat16",
     use_pallas: bool | None = None,
+    has_forces: bool = True,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
@@ -137,9 +139,16 @@ def make_config(
                 params.xi, params.ewald_dr, params.ewald_cut, params.radius
             )
 
+    if not thermal and not has_forces:
+        # A step with neither forces nor temperature is a no-op; keep the
+        # deterministic path (M·0, like the reference) so the step is still
+        # well-defined for zero-force athermal runs.
+        has_forces = True
+
     return StepConfig(
         params=params, nbr_spec=nbr_spec, thermal=thermal, m_max=m_max,
         seed=seed, engine=engine, nf_spec=nf_spec, ff_spec=ff_spec, cheb=cheb,
+        has_forces=has_forces,
     )
 
 
@@ -414,23 +423,32 @@ def step(
         ctx, overflow = eng.prepare(config, pos, box)
 
     # --- wave space: spread -> FFT -> Green (+noise) -> IFFT -> contract ---
+    # Without external forces (pure Brownian runs, the reference's canonical
+    # examples/run.py workload) the deterministic spread, forward FFT, and
+    # near-field matvec are all M·0 — skipped statically (the reference
+    # computes them anyway, Brownian.cu:836-882).
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
-    with jax.named_scope("pse_spread"):
-        grid = eng.spread(ctx, box, forces)
-    with jax.named_scope("pse_fft"):
-        ghat = jnp.fft.rfftn(grid, axes=(1, 2, 3))
-    with jax.named_scope("pse_green"):
-        ghat = farfield.apply_green(ghat, kvec, W)
+    if config.has_forces:
+        with jax.named_scope("pse_spread"):
+            grid = eng.spread(ctx, box, forces)
+        with jax.named_scope("pse_fft"):
+            ghat = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+        with jax.named_scope("pse_green"):
+            ghat = farfield.apply_green(ghat, kvec, W)
         if config.thermal:
             ghat = ghat + noise.wave_space_noise_hat_half(k_grid, p, kvec, W, T, dt)
+    else:
+        with jax.named_scope("pse_green"):
+            ghat = noise.wave_space_noise_hat_half(k_grid, p, kvec, W, T, dt)
     with jax.named_scope("pse_ifft"):
         grid_v = jnp.fft.irfftn(ghat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
     with jax.named_scope("pse_contract"):
         u = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     # --- real space: deterministic matvec (+ Lanczos noise) ----------------
-    with jax.named_scope("pse_nearfield"):
-        u = u + eng.mreal_particles(ctx, forces)
+    if config.has_forces:
+        with jax.named_scope("pse_nearfield"):
+            u = u + eng.mreal_particles(ctx, forces)
 
     m_used = state.m_lanczos
     if config.thermal:

@@ -84,8 +84,10 @@ def sqrt_mreal(
     psi_flat = psi.T.reshape(-1)
     vnorm = jnp.sqrt(_dot(psi_flat, psi_flat))
     psinorm = vnorm
-    mpsi = matvec(psi_flat)
-    psi_m_psi = _dot(psi_flat, mpsi) / (psinorm * psinorm)
+    # ψ·Mψ/‖ψ‖² (the step-norm normalizer, Brownian.cu:452-457) equals α₀ of
+    # the Lanczos recurrence (v₀·Mv₀ with v₀ = ψ/‖ψ‖), so unlike the
+    # reference we don't spend an extra matvec on it — the convergence check
+    # reads alpha[0] once the first iteration has stored it.
 
     v0 = psi_flat / vnorm
     warm = jnp.clip(jnp.asarray(m_start, jnp.int32) - 1, 1, m_max - 1)
@@ -112,6 +114,7 @@ def sqrt_mreal(
             vel = jnp.einsum(
                 "m,mf->f", f, V, preferred_element_type=jnp.float32
             ).astype(dtype)
+            psi_m_psi = alpha[0]
             stepnorm = jnp.sqrt(
                 _dot(vel - state.vel_old, vel - state.vel_old) / psi_m_psi
             )

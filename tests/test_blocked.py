@@ -188,3 +188,21 @@ def test_pallas_rows_matvec_matches_xla():
         blocks, cfg.nf_spec, bins, fc, params.self_mobility, interpret=True
     )
     np.testing.assert_allclose(np.asarray(u_v2), np.asarray(u_xla), atol=2e-6)
+
+
+def test_no_forces_path_matches_zero_forces():
+    """The static has_forces=False step (skips det spread/FFT/matvec) must
+    reproduce the full step with zero forces."""
+    import dataclasses
+
+    _, cfg, pos, _ = _setup(96, 25.0, seed=9, thermal=True)
+    cfg0 = dataclasses.replace(cfg, has_forces=False)
+    f0 = jnp.zeros((96, 3), jnp.float32)
+    s_a = integrator.make_state(pos)
+    s_b = integrator.make_state(pos)
+    for _ in range(3):
+        s_a, _ = integrator.step(cfg, s_a, f0, 1.0, 1e-3, 0.0)
+        s_b, _ = integrator.step(cfg0, s_b, f0, 1.0, 1e-3, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(s_b.pos), np.asarray(s_a.pos), atol=1e-5
+    )
