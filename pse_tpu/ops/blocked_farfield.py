@@ -68,10 +68,14 @@ def make_ff_spec(params: PSEParams, n_particles: int) -> FfSpec | None:
         for sy in cands[1]:
             for sz in cands[2]:
                 s3 = sx * sy * sz
+                if s3 > 1024 and best is not None:
+                    continue  # giant blocks explode the per-block capacity
                 padded = -(-s3 // 128) * 128
                 waste = padded / s3
-                # prefer minimal pad waste, then smallest block volume
-                key = (round(waste, 3), s3)
+                # blocks far above ~128 nodes inflate the weight compute and
+                # capacities; weight the pad waste by a soft size penalty.
+                size_penalty = max(1.0, s3 / 256.0)
+                key = (round(waste * size_penalty, 3), s3)
                 if best is None or key < best[0]:
                     best = (key, (sx, sy, sz))
     s = best[1]
