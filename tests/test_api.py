@@ -97,3 +97,18 @@ def test_mobility_matvec_surface():
 def test_invalid_nlist_type():
     with pytest.raises(ValueError):
         pse.integrate.PSEv1(nlist_type="octree")
+
+
+def test_trajectory_writer_roundtrip(tmp_path):
+    from pse_tpu.utils.trajectory import TrajectoryWriter, load_trajectory
+
+    sim = _sim(T=1.0)
+    writer = TrajectoryWriter(str(tmp_path / "traj.npz"), every=1)
+    sim.run(15, callback=writer)  # sync_every=5 -> 3 frames
+    path = writer.close()
+    d = load_trajectory(path)
+    assert d["pos"].shape == (3, 64, 3)
+    assert list(d["step"]) == [5, 10, 15]
+    # unwrapping data present
+    assert d["images"].shape == (3, 64, 3)
+    assert d["tilt_xy"].shape == (3,)
