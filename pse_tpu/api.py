@@ -129,6 +129,9 @@ class Simulation:
             max_tilt=method.max_strain, max_neighbors=max_neighbors,
             has_forces=self.force_fn is not None,
         )
+        # Cell sizes and the spreading-Gaussian safety factor λ(γ) are built
+        # for THIS worst-case tilt; set_params must not silently exceed it.
+        self._built_max_strain = float(method.max_strain)
         if verbose:
             # One-time derived-parameter notice, as the reference prints
             # (Stokes.cc:238-254).
@@ -149,8 +152,24 @@ class Simulation:
             if not callable(T) and float(T) == 0.0:
                 thermal = False
             if thermal != self.config.thermal:
-                self.config = dataclasses.replace(self.config, thermal=thermal)
+                # Keep the StepConfig invariant: going athermal on a
+                # zero-force Simulation re-enables the (M·0) deterministic
+                # path, exactly as make_config would have built it.
+                changes = {"thermal": thermal}
+                if not thermal and not self.config.has_forces:
+                    changes["has_forces"] = True
+                self.config = dataclasses.replace(self.config, **changes)
         if function_form is not None:
+            if float(max_strain) > self._built_max_strain:
+                # The neighbor/blocked cell sizes were tilt-inflated by the
+                # max_strain passed at set_integrator time, and λ(γ) in the
+                # spreading params likewise; a larger strain would silently
+                # under-cover the tilted-box stencil.  Rebuild instead.
+                raise ValueError(
+                    f"max_strain={max_strain:g} exceeds the value the "
+                    f"integrator was built with ({self._built_max_strain:g}); "
+                    "call set_integrator again to rebuild for a larger strain"
+                )
             self.method = dataclasses.replace(
                 self.method, function_form=function_form, max_strain=max_strain
             )
@@ -158,9 +177,12 @@ class Simulation:
         self._run_chunk_cache.clear()
         return self
 
-    def stop_shear(self, max_strain: float = 0.5):
+    def stop_shear(self, max_strain: float | None = None):
         """Replace the shear protocol with zero steady shear
-        (integrate.py:121-123)."""
+        (integrate.py:121-123).  Defaults to the max_strain the integrator
+        was built with (a larger value would be rejected by set_params)."""
+        if max_strain is None:
+            max_strain = self._built_max_strain
         return self.set_params(
             function_form=shear_function.steady(dt=0.0), max_strain=max_strain
         )

@@ -123,7 +123,14 @@ def sqrt_mreal(
         def skip(_):
             return state.vel, state.stepnorm
 
-        vel, stepnorm = jax.lax.cond(j + 1 >= warm, assemble, skip, None)
+        # Also assemble on basis breakdown, even before the warm-start count:
+        # the loop exits this iteration, and the partial-basis T^{1/2}e1 is
+        # the answer (the reference truncates m and assembles likewise,
+        # Brownian.cu:507-510) — returning the never-assembled zeros would
+        # silently drop the real-space Brownian displacement.
+        vel, stepnorm = jax.lax.cond(
+            (j + 1 >= warm) | breakdown, assemble, skip, None
+        )
 
         return _LanczosState(
             j=j + 1,

@@ -82,19 +82,26 @@ def wave_space_noise_hat_half(
     selfc2 = jnp.asarray(selfc2[:, :, 0])
     origin2 = jnp.asarray(origin2[:, :, 0])
 
-    def hermitize_plane(re_p, im_p):              # (3, Nx, Ny) each
+    def hermitize_plane(re_p, im_p, is_kz0):      # (3, Nx, Ny) each
         re_flat = re_p.reshape(3, -1)
         im_flat = im_p.reshape(3, -1)
         re_h = jnp.where(gen2[None], re_p, re_flat[:, conj2].reshape(3, Nx, Ny))
         im_h = jnp.where(gen2[None], im_p, -im_flat[:, conj2].reshape(3, Nx, Ny))
-        re_h = jnp.where(selfc2[None], SQRT2 * re_p, re_h)
-        im_h = jnp.where((selfc2 | origin2)[None], 0.0, im_h)
-        re_h = jnp.where(origin2[None], 0.0, re_h)
+        # The plane's (0,0) element is the true k=0 mode only on the kz=0
+        # plane (zeroed, Brownian.cu:210-215); on the kz=Nz/2 Nyquist plane
+        # it is the self-conjugate (0,0,Nz/2) mode — a √2 real draw like the
+        # other Nyquist combos (Brownian.cu:255-288).
+        selfc_m = selfc2 if is_kz0 else (selfc2 | origin2)
+        re_h = jnp.where(selfc_m[None], SQRT2 * re_p, re_h)
+        im_h = jnp.where(selfc_m[None], 0.0, im_h)
+        if is_kz0:
+            re_h = jnp.where(origin2[None], 0.0, re_h)
+            im_h = jnp.where(origin2[None], 0.0, im_h)
         return re_h, im_h
 
-    planes = [0] + ([nzh - 1] if Nz % 2 == 0 and Nz > 1 else [])
-    for pz in planes:
-        rh, ih = hermitize_plane(re[..., pz], im[..., pz])
+    planes = [(0, True)] + ([(nzh - 1, False)] if Nz % 2 == 0 and Nz > 1 else [])
+    for pz, is_kz0 in planes:
+        rh, ih = hermitize_plane(re[..., pz], im[..., pz], is_kz0)
         re = re.at[..., pz].set(rh)
         im = im.at[..., pz].set(ih)
 

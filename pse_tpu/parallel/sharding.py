@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..integrator import State, StepConfig, step as _step
+from ..integrator import State, StepConfig, mobility as _mobility, step as _step
 
 
 def make_mesh(devices=None, axis: str = "dp") -> Mesh:
@@ -88,5 +88,24 @@ def make_sharded_step(config: StepConfig, mesh: Mesh, axis: str = "dp"):
             state, forces, jnp.float32(T), jnp.float32(dt),
             jnp.float32(shear_rate), tilt,
         )
+
+    return run
+
+
+def make_sharded_mobility(config: StepConfig, mesh: Mesh, axis: str = "dp"):
+    """Jit the public U = M·F matvec with particle-sharded inputs/outputs."""
+    ps = particle_sharding(mesh, axis)
+    rs = replicated(mesh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(ps, ps, rs),
+        out_shardings=(ps, None),
+    )
+    def sharded_mobility(pos, forces, tilt_xy):
+        return _mobility(config, pos, forces, tilt_xy)
+
+    def run(pos, forces, tilt_xy=0.0):
+        return sharded_mobility(pos, forces, jnp.float32(tilt_xy))
 
     return run

@@ -52,6 +52,62 @@ def test_checkpoint_roundtrip_determinism():
         np.testing.assert_array_equal(sim2.snapshot()["pos"], target)
 
 
+def test_bad_thermal_forces_config_raises():
+    """thermal=False + has_forces=False must fail loudly, including via
+    dataclasses.replace (the api.set_params path that used to bypass
+    make_config's guard)."""
+    import dataclasses
+
+    from pse_tpu import integrator
+
+    params = pse.make_params(xi=0.5, error=1e-3, L=20.0)
+    config = integrator.make_config(params, 64, thermal=True, has_forces=False)
+    with pytest.raises(ValueError, match="thermal=False"):
+        dataclasses.replace(config, thermal=False)
+
+
+def test_set_params_athermal_keeps_invariant():
+    """Going athermal on a zero-force Simulation re-enables the M·0 path."""
+    sim = _sim(T=1.0)
+    assert not sim.config.has_forces
+    sim.set_params(T=0.0)
+    assert not sim.config.thermal and sim.config.has_forces
+    sim.run(2)  # compiles and runs
+
+
+def test_set_params_max_strain_guard():
+    sim = _sim(T=1.0, max_strain=0.3)
+    with pytest.raises(ValueError, match="max_strain"):
+        sim.set_params(
+            function_form=pse.shear_function.steady(dt=1.0), max_strain=0.5
+        )
+    # at or below the built value is fine, and stop_shear defaults safely
+    sim.set_params(
+        function_form=pse.shear_function.steady(dt=1.0), max_strain=0.3
+    )
+    sim.stop_shear()
+
+
+def test_block_dtype_tracks_requested_error():
+    from pse_tpu import integrator
+
+    L = 30.0
+    n = 500
+    loose = integrator.make_config(
+        pse.make_params(xi=0.5, error=1e-3, L=L), n, engine="blocked"
+    )
+    tight = integrator.make_config(
+        pse.make_params(xi=0.5, error=1e-4, L=L), n, engine="blocked"
+    )
+    assert loose.nf_spec.block_dtype == "bfloat16"
+    assert tight.nf_spec.block_dtype == "float32"
+    with pytest.warns(UserWarning, match="bfloat16"):
+        integrator.make_config(
+            pse.make_params(xi=0.5, error=1e-4, L=L), n,
+            engine="blocked", block_dtype="bfloat16",
+        )
+
+
 def test_set_params_changes_temperature():
     sim = _sim(T=1.0)
     sim.run(2)

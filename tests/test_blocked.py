@@ -86,6 +86,41 @@ def test_blocked_brownian_matches_gather_statistics():
     assert np.abs(np.asarray(u1) - np.asarray(u3)).max() > 1e-3
 
 
+def test_blocked_brownian_covariance():
+    """Direct first-class evidence for the production (blocked + thermal)
+    path: ⟨uuᵀ⟩ → (2T/dt)·M through the blocked engine's own slot-noise and
+    Lanczos plumbing — a slot-masking or ψ-layout bug would show up here
+    even though blocked M·F matches gather M·F."""
+    _, cfg_b, pos, _ = _setup(32, 18.0, seed=8, thermal=True)
+    assert cfg_b.engine == "blocked"
+    T, dt = 1.0, 1.0
+    n = pos.shape[0]
+
+    cols = []
+    for j in range(n):
+        for c in range(3):
+            e = np.zeros((n, 3), np.float32)
+            e[j, c] = 1.0
+            u, _ = integrator.mobility(cfg_b, pos, jnp.asarray(e))
+            cols.append(np.asarray(u).reshape(-1))
+    M = np.stack(cols, axis=1)
+
+    nsamp = 3000
+    us = np.stack(
+        [
+            np.asarray(
+                integrator.brownian_displacement(cfg_b, pos, 0.0, s, 2, T, dt)[0]
+            ).reshape(-1)
+            for s in range(nsamp)
+        ]
+    )
+    cov = us.T @ us / nsamp
+    target = 2.0 * T / dt * M
+    scale = np.abs(np.diag(target)).max()
+    err = np.abs(cov - target).max() / scale
+    assert err < 0.12, f"max covariance error {err}"
+
+
 def test_blocked_step_runs_and_matches_gather_athermal():
     cfg_g, cfg_b, pos, forces = _setup(96, 25.0, seed=6)
     sg = integrator.make_state(pos)

@@ -140,6 +140,55 @@ def test_half_spectrum_noise_is_hermitian_on_planes():
         assert dev.max() < 0.02 * scale, f"L={L} nyquist"
 
 
+def test_half_spectrum_nyquist_origin_mode_not_zeroed():
+    """The (0,0,Nz/2) self-conjugate mode must carry a √2 real draw like the
+    full-grid construction (Brownian.cu Nyquist branch), not the k=0 zeroing.
+    Regression: the 2-D origin mask used to zero it on both hermitized
+    planes."""
+    p = pse.make_params(xi=0.5, error=1e-3, L=10.0)   # even grid
+    assert p.Nz % 2 == 0
+    kvec, W = gridk_arrays(p, 0.0, half=True)
+    nzh = p.Nz // 2
+    vals = []
+    for s in range(8):
+        nh = np.asarray(
+            noise.wave_space_noise_hat_half(
+                jax.random.PRNGKey(s), p, kvec, W, 1.0, 1e-3
+            )
+        )
+        mode = nh[:, 0, 0, nzh]
+        # k = (0,0,k_nyq): transverse projection kills z, keeps x/y; the
+        # draw must be real (self-conjugate node).
+        assert np.abs(mode.imag).max() == 0.0
+        assert np.abs(mode[2]) <= 1e-6 * (np.abs(mode).max() + 1e-30)
+        vals.append(mode.real[:2])
+    assert np.abs(np.stack(vals)).max() > 0.0
+
+    # k=0 stays excluded
+    nh = np.asarray(
+        noise.wave_space_noise_hat_half(jax.random.PRNGKey(0), p, kvec, W, 1.0, 1e-3)
+    )
+    assert np.abs(nh[:, 0, 0, 0]).max() == 0.0
+
+
+def test_lanczos_breakdown_returns_partial_assembly():
+    """Krylov breakdown before the warm-start count must still assemble from
+    the partial basis (Brownian.cu:507-510 truncates m), not return zeros.
+    M = c·I collapses the basis at j=0; with a high persisted warm start the
+    old code exited before ever assembling."""
+    c = 0.73
+    n = 5
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=(n, 3)).astype(np.float32)
+    matvec = lambda vt: c * vt
+    u, m_used = lanczos.sqrt_mreal(
+        matvec, jnp.asarray(psi), 1e-3, m_start=10, m_max=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(u), np.sqrt(c) * psi, rtol=1e-5, atol=1e-6
+    )
+
+
 def test_brownian_displacement_covariance():
     """Full positively-split noise: ⟨uuᵀ⟩ = (2T/dt)·(M_wave + M_real)."""
     config, box, pos = _small_system(n=6, L=10.0, seed=3)

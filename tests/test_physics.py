@@ -13,14 +13,16 @@ import pse_tpu as pse
 from pse_tpu import box as boxlib
 
 
-def test_dilute_self_diffusion():
+@pytest.mark.parametrize("engine", ["gather", "blocked"])
+def test_dilute_self_diffusion(engine):
     """Per-step displacement variance of a dilute thermal suspension matches
     2·D·dt with the periodic-corrected self-diffusion
     D = kT·(1 − 2.837297 a/L + ...) (Hasimoto correction; units 6πηa = a = 1).
 
     Per-step increments are independent (Euler-Maruyama is memoryless), so
     N·steps·3 ≈ 5e4 square samples give ~1% statistics; E[x²] is unbiased by
-    inter-particle correlations.
+    inter-particle correlations.  Runs through BOTH engines so the production
+    (blocked + thermal) configuration has end-to-end physics evidence.
     """
     N_side, L, dt, T = 3, 30.0, 5e-3, 1.0
     n = N_side ** 3
@@ -31,8 +33,9 @@ def test_dilute_self_diffusion():
     )
     sim.set_integrator(
         pse.integrate.PSEv1(T=T, seed=7, xi=0.5, error=1e-3),
-        verbose=False, engine="gather",
+        verbose=False, engine=engine,
     )
+    assert sim.config.engine == engine
     traj = [np.asarray(boxlib.unwrap(sim.box, sim.state.pos, sim.state.images))]
 
     def collect(s):
