@@ -1,21 +1,53 @@
 """Headline benchmark: particle-steps/sec, dense suspension, one TPU chip.
 
-Config 4 of BASELINE.json: N=100k spheres at volume fraction φ=0.45, kT>0
-(full Brownian step: neighbor rebuild + near field + FFT far field + Lanczos
-noise + wave noise + Euler/shear update).  Prints ONE JSON line.
+Config 4 of BASELINE.json: N=100k spheres at volume fraction φ=0.45, kT>0,
+positions drawn as a vacancy-diluted simple-cubic lattice (non-overlapping,
+the physically meaningful φ=0.45 configuration).  Two workloads are measured:
+
+  * brownian     — no external forces (the reference's canonical
+                   examples/run.py workload; the M·0 deterministic path is
+                   compiled out, exactly as a user would run it);
+  * with-forces  — has_forces=True with a fixed random force array, which
+                   exercises the full fused pipeline: spread + forward FFT +
+                   near-field M·F on top of the Brownian machinery.
+
+Steps run as one device-side lax.scan chunk (launch overhead amortized, like
+Simulation.run).  Prints ONE JSON line (the brownian headline, metric
+continuity with round 1); the full breakdown, including the with-forces
+number and an optional ξ sweep (--sweep; each ξ is a fresh ~10 min TPU
+compile), goes to stderr and BENCH_DETAILS.json.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target is 1e7 particle-steps/sec, so vs_baseline = value / 1e7.
 """
 
+import argparse
 import json
 import math
+import sys
 import time
 
 import numpy as np
 
 
-def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
+def make_positions(n, phi, seed=0):
+    """Vacancy-diluted SC lattice at volume fraction φ (non-overlapping)."""
+    vol = n * (4.0 / 3.0) * math.pi / phi
+    L = vol ** (1.0 / 3.0)
+    n_side = int(math.ceil(n ** (1.0 / 3.0)))
+    a = L / n_side
+    grid = (np.arange(n_side) + 0.5) * a - L / 2.0
+    x, y, z = np.meshgrid(grid, grid, grid, indexing="ij")
+    pos = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)
+    rng = np.random.default_rng(seed)
+    keep = rng.choice(pos.shape[0], size=n, replace=False)
+    pos = pos[np.sort(keep)]
+    pos += rng.normal(scale=0.05 * a, size=pos.shape)   # break lattice symmetry
+    return pos.astype(np.float32), L
+
+
+def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
+              n_steps=30, chunk=10, seed=0):
     import jax
     import jax.numpy as jnp
     import pse_tpu as pse
@@ -24,46 +56,53 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
 
     enable_compilation_cache()
 
-    vol = n * (4.0 / 3.0) * math.pi / phi
-    L = vol ** (1.0 / 3.0)
-
-    rng = np.random.default_rng(seed)
-    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
-
+    pos, L = make_positions(n, phi, seed)
     params = pse.make_params(xi=xi, error=1e-3, L=L)
-    # Pure Brownian workload (no external forces): the deterministic M·F
-    # branch compiles out (the reference computes M·0 every step).
     config = integrator.make_config(
-        params, n, thermal=True, seed=1, engine="blocked", has_forces=False
+        params, n, thermal=True, seed=1, engine="blocked",
+        has_forces=has_forces,
     )
     state = integrator.make_state(pos)
-    forces = jnp.zeros((n, 3), jnp.float32)
+    rng = np.random.default_rng(seed + 1)
+    forces = (
+        jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        if has_forces
+        else jnp.zeros((n, 3), jnp.float32)
+    )
 
     T = jnp.float32(1.0)
     dt = jnp.float32(1e-3)
     rate = jnp.float32(0.0)
 
-    # warmup / compile
-    for _ in range(n_warm):
-        state, info = integrator.step(config, state, forces, T, dt, rate)
-    jax.block_until_ready(state.pos)
-    if bool(state.nbr_overflow):
-        raise RuntimeError("neighbor overflow in bench config; enlarge spec")
+    @jax.jit
+    def run_chunk(state):
+        def body(s, _):
+            new_s, _info = integrator.step(config, s, forces, T, dt, rate)
+            return new_s, None
+        final, _ = jax.lax.scan(body, state, None, length=chunk)
+        return final
 
+    for _ in range(n_warm):
+        state = run_chunk(state)
+    np.asarray(state.pos)   # materialize (block_until_ready lies, CLAUDE.md)
+    if bool(state.nbr_overflow):
+        raise RuntimeError("capacity overflow in bench config; enlarge spec")
+
+    n_chunks = max(1, n_steps // chunk)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, info = integrator.step(config, state, forces, T, dt, rate)
-    jax.block_until_ready(state.pos)
+    for _ in range(n_chunks):
+        state = run_chunk(state)
+    np.asarray(state.pos)
     elapsed = time.perf_counter() - t0
 
-    steps_per_sec = n_steps / elapsed
+    steps_per_sec = n_chunks * chunk / elapsed
     return {
+        "workload": "with-forces" if has_forces else "brownian",
         "xi": xi,
         "grid": (params.Nx, params.Ny, params.Nz),
         "rcut": params.ewald_cut,
         "engine": config.engine,
         "nf_spec": config.nf_spec and (config.nf_spec.bins.n_cells, config.nf_spec.bins.cap),
-        "ff_spec": config.ff_spec and (config.ff_spec.bins.n_cells, config.ff_spec.bins.cap),
         "steps_per_sec": steps_per_sec,
         "particle_steps_per_sec": steps_per_sec * n,
         "m_lanczos": int(state.m_lanczos),
@@ -71,18 +110,37 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, n_warm=3, n_steps=20, seed=0):
 
 
 def main():
-    best = None
-    for xi in (0.5,):
-        r = run_bench(xi=xi)
-        if best is None or r["particle_steps_per_sec"] > best["particle_steps_per_sec"]:
-            best = r
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="also sweep xi (each point is a fresh TPU compile)")
+    args = ap.parse_args()
+
+    results = []
+    for has_forces in (False, True):
+        r = run_bench(has_forces=has_forces)
+        results.append(r)
+        print(f"# {r['workload']:12s} xi={r['xi']}: "
+              f"{r['particle_steps_per_sec']:.3g} particle-steps/s "
+              f"(m={r['m_lanczos']})", file=sys.stderr)
+    if args.sweep:
+        for xi in (0.4, 0.65):
+            r = run_bench(xi=xi)
+            results.append(r)
+            print(f"# {r['workload']:12s} xi={r['xi']}: "
+                  f"{r['particle_steps_per_sec']:.3g} particle-steps/s",
+                  file=sys.stderr)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+    headline = results[0]
     print(
         json.dumps(
             {
                 "metric": "particle-steps/sec @ N=100k phi=0.45 kT>0",
-                "value": round(best["particle_steps_per_sec"]),
+                "value": round(headline["particle_steps_per_sec"]),
                 "unit": "particle-steps/s",
-                "vs_baseline": round(best["particle_steps_per_sec"] / 1e7, 4),
+                "vs_baseline": round(headline["particle_steps_per_sec"] / 1e7, 4),
             }
         )
     )

@@ -56,9 +56,11 @@ class PSEv1:
     function_form: Optional[shear_function.ShearFunction] = None
     max_strain: float = 0.5
     nlist_type: str = "cell"
-    # Reference arg parity (integrate.py:32): the reference integrates a HOOMD
-    # particle group; here the method always acts on the Simulation's full
-    # particle set (None), matching the reference's canonical group.all usage.
+    # Particle group (integrate.py:32, Stokes.cc:85-111): the reference
+    # integrates a HOOMD group — only group members move, and the
+    # hydrodynamic system (spreading, near field, noise) is built from group
+    # members only.  Here: None = all particles (the canonical group.all
+    # usage), or an index array selecting the subset to integrate.
     group: object = None
 
     def __post_init__(self):
@@ -101,6 +103,7 @@ class Simulation:
         self.sync_every = int(sync_every)
         self.method: Optional[PSEv1] = None
         self.config: Optional[StepConfig] = None
+        self._group = None
         self.shear_variant: Optional[shear_function.ShearVariant] = None
         self.state = make_state(self.positions0, tilt_xy=tilt_xy)
         if images is not None:
@@ -124,8 +127,20 @@ class Simulation:
         thermal = True
         if not callable(method.T) and float(method.T) == 0.0:
             thermal = False
+        if method.group is None:
+            self._group = None
+            n_hydro = self.n
+        else:
+            g = np.unique(np.asarray(method.group, np.int32).ravel())
+            if g.size == 0 or g.min() < 0 or g.max() >= self.n:
+                raise ValueError(
+                    f"group indices must be unique and in [0, {self.n})"
+                )
+            # None when the group is everything — skip the subset plumbing.
+            self._group = jnp.asarray(g) if g.size < self.n else None
+            n_hydro = int(g.size) if self._group is not None else self.n
         self.config = make_config(
-            params, self.n, thermal=thermal, seed=method.seed, engine=engine,
+            params, n_hydro, thermal=thermal, seed=method.seed, engine=engine,
             max_tilt=method.max_strain, max_neighbors=max_neighbors,
             has_forces=self.force_fn is not None,
         )
@@ -200,7 +215,10 @@ class Simulation:
     # -- compiled chunk runner -------------------------------------------
 
     def _chunk_fn(self, n_steps: int):
-        key = (n_steps, self.config, id(self.force_fn), id(self.shear_variant))
+        key = (
+            n_steps, self.config, id(self.force_fn), id(self.shear_variant),
+            id(self._group),
+        )
         if key in self._run_chunk_cache:
             return self._run_chunk_cache[key]
 
@@ -209,6 +227,7 @@ class Simulation:
         dt = self.dt
         force_fn = self.force_fn
         variant = self.shear_variant
+        group = self._group
 
         def body(state: State, _):
             t = state.step
@@ -219,8 +238,35 @@ class Simulation:
             )
             shear_rate = method.shear_rate(t)
             new_tilt = variant.value(t + 1) if variant is not None else None
-            new_state, _info = _step(
-                config, state, forces, method.temperature(t), dt, shear_rate, new_tilt
+            if group is None:
+                new_state, _info = _step(
+                    config, state, forces, method.temperature(t), dt,
+                    shear_rate, new_tilt,
+                )
+                return new_state, None
+            # Group subset (Stokes.cc:85-111 semantics): the hydrodynamic
+            # system consists of group members only; non-members are frozen
+            # scenery (they can still exert forces via force_fn, which sees
+            # the full position array).
+            sub = State(
+                pos=state.pos[group],
+                images=state.images[group],
+                step=state.step,
+                tilt_xy=state.tilt_xy,
+                m_lanczos=state.m_lanczos,
+                nbr_overflow=state.nbr_overflow,
+            )
+            new_sub, _info = _step(
+                config, sub, forces[group], method.temperature(t), dt,
+                shear_rate, new_tilt,
+            )
+            new_state = State(
+                pos=state.pos.at[group].set(new_sub.pos),
+                images=state.images.at[group].set(new_sub.images),
+                step=new_sub.step,
+                tilt_xy=new_sub.tilt_xy,
+                m_lanczos=new_sub.m_lanczos,
+                nbr_overflow=new_sub.nbr_overflow,
             )
             return new_state, None
 

@@ -150,6 +150,44 @@ def test_mobility_matvec_surface():
     assert u[:, 2].mean() > 0
 
 
+def test_particle_group_subset():
+    """group=indices integrates only that subset (Stokes.cc:85-111): members
+    move under Brownian dynamics, non-members stay frozen, and a full group
+    is identical to group=None."""
+    L, n_side = 20.0, 4
+    pos0 = pse.create_lattice(n_side, L)
+    n = pos0.shape[0]
+    g = np.arange(0, n, 2)
+
+    sim = pse.Simulation(positions=pos0, L=L, dt=1e-3, sync_every=5)
+    sim.set_integrator(
+        pse.integrate.PSEv1(T=1.0, seed=3, xi=0.5, error=1e-3, group=g),
+        verbose=False, engine="gather",
+    )
+    assert sim._group is not None and int(sim._group.shape[0]) == g.size
+    sim.run(6)
+    p = sim.snapshot()["pos"]
+    moved = np.abs(p - pos0).max(axis=1)
+    assert moved[g].min() > 1e-5
+    non_group = np.setdiff1d(np.arange(n), g)
+    np.testing.assert_array_equal(p[non_group], pos0[non_group])
+
+    # group covering everything == no group (bitwise: same config/step path)
+    sim_all = _sim(group=np.arange(64))
+    sim_none = _sim()
+    sim_all.run(5)
+    sim_none.run(5)
+    np.testing.assert_array_equal(
+        sim_all.snapshot()["pos"], sim_none.snapshot()["pos"]
+    )
+
+    with pytest.raises(ValueError, match="group"):
+        bad = pse.Simulation(positions=pos0, L=L, dt=1e-3)
+        bad.set_integrator(
+            pse.integrate.PSEv1(T=1.0, group=np.array([n + 3])), verbose=False
+        )
+
+
 def test_invalid_nlist_type():
     with pytest.raises(ValueError):
         pse.integrate.PSEv1(nlist_type="octree")

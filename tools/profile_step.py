@@ -1,0 +1,121 @@
+"""Device-side trace of the production step (bench config) on the real TPU.
+
+Prints the op_profile breakdown (per-category device time) plus m_lanczos and
+whole-step wall time.  Host-side fine timing over the axon tunnel lies (see
+CLAUDE.md); only the xprof device trace and multi-second aggregates are
+trusted.
+
+Usage: python tools/profile_step.py [--forces] [--n 100000] [--steps 10]
+"""
+
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--phi", type=float, default=0.45)
+    ap.add_argument("--xi", type=float, default=0.5)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--forces", action="store_true")
+    ap.add_argument("--trace-dir", default="/tmp/pse_trace")
+    ap.add_argument("--lattice", action="store_true",
+                    help="jittered lattice instead of uniform random positions")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import pse_tpu as pse
+    from pse_tpu import integrator
+    from pse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n = args.n
+    vol = n * (4.0 / 3.0) * math.pi / args.phi
+    L = vol ** (1.0 / 3.0)
+    rng = np.random.default_rng(0)
+    if args.lattice:
+        n_side = round(n ** (1 / 3))
+        pos = pse.create_lattice(n_side, L)[:n]
+        pos = (pos + rng.normal(scale=0.1, size=pos.shape)).astype(np.float32)
+    else:
+        pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+
+    params = pse.make_params(xi=args.xi, error=1e-3, L=L)
+    config = integrator.make_config(
+        params, n, thermal=True, seed=1, engine="blocked",
+        has_forces=args.forces,
+    )
+    state = integrator.make_state(pos)
+    forces = (
+        jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        if args.forces
+        else jnp.zeros((n, 3), jnp.float32)
+    )
+    T, dt, rate = jnp.float32(1.0), jnp.float32(1e-3), jnp.float32(0.0)
+
+    print(f"config: n={n} L={L:.1f} grid={params.Nx} rcut={params.ewald_cut:.2f} "
+          f"nf={config.nf_spec and (config.nf_spec.bins.n_cells, config.nf_spec.bins.cap)} "
+          f"ff={config.ff_spec and (config.ff_spec.bins.n_cells, config.ff_spec.bins.cap)} "
+          f"forces={args.forces}", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, info = integrator.step(config, state, forces, T, dt, rate)
+    jax.block_until_ready(state.pos)
+    print(f"warmup+compile: {time.perf_counter()-t0:.1f}s "
+          f"m_lanczos={int(state.m_lanczos)} overflow={bool(state.nbr_overflow)}",
+          flush=True)
+
+    # trusted aggregate wall time
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, info = integrator.step(config, state, forces, T, dt, rate)
+    np.asarray(state.pos)
+    wall = (time.perf_counter() - t0) / args.steps
+    print(f"step wall: {wall*1e3:.1f} ms  ({n/wall:.3g} particle-steps/s)  "
+          f"m_lanczos={int(state.m_lanczos)}", flush=True)
+
+    os.makedirs(args.trace_dir, exist_ok=True)
+    jax.profiler.start_trace(args.trace_dir)
+    for _ in range(3):
+        state, info = integrator.step(config, state, forces, T, dt, rate)
+    jax.block_until_ready(state.pos)
+    jax.profiler.stop_trace()
+
+    pbs = sorted(glob.glob(args.trace_dir + "/**/*.xplane.pb", recursive=True))
+    if not pbs:
+        print("no xplane.pb found", file=sys.stderr)
+        return
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data([pbs[-1]], "op_profile", {})
+    prof = json.loads(data)
+
+    def walk(node, depth, out):
+        m = node.get("metrics", {})
+        t = m.get("time", 0.0)
+        if t and depth <= 2:
+            out.append((t, depth, node.get("name", "?")))
+        for ch in node.get("children", []):
+            walk(ch, depth + 1, out)
+
+    out = []
+    walk(prof.get("byCategory", prof), 0, out)
+    out.sort(reverse=True)
+    print("\nop_profile byCategory (pct of device time):")
+    for t, depth, name in out[:25]:
+        print(f"  {'  '*depth}{t:6.2%}  {name}")
+
+
+if __name__ == "__main__":
+    main()
