@@ -110,6 +110,63 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     )
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
+    """Bin into (x, y) columns and sort by z WITHIN each column.
+
+    Same padded layout/contract as ``bin_particles`` but with
+    ``spec.n_cells = (ncx, ncy, 1)`` and slots ordered by ascending z inside
+    every column — the layout the banded near-field engine
+    (ops/banded_nearfield.py) needs: for a z-sorted column, the particles
+    within ``rcut`` of a slot form a contiguous rank band, so the mobility
+    blocks can store only that band instead of dense (cap x cap) tiles.
+
+    Padded slots sort last (z key = +inf) and have mask 0 / pid N / pos 0.
+    """
+    n = pos.shape[0]
+    ncx, ncy, ncz = spec.n_cells
+    assert ncz == 1, "bin_columns bins in (x, y) only"
+    cap = spec.cap
+    c_total = ncx * ncy
+
+    frac = make_fraction(box, pos)
+    frac = frac - jnp.floor(frac)
+    cx = jnp.clip((frac[:, 0] * ncx).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((frac[:, 1] * ncy).astype(jnp.int32), 0, ncy - 1)
+    cid = cx * ncy + cy
+
+    # Lexicographic sort by (column, z): stable two-key device sort.
+    arange = jnp.arange(n, dtype=jnp.int32)
+    sorted_cid, _, order = jax.lax.sort(
+        (cid, pos[:, 2], arange), num_keys=2
+    )
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
+    rank_sorted = arange - seg_start
+    overflow = (rank_sorted >= cap).any()
+    rank_clip = jnp.minimum(rank_sorted, cap - 1)
+
+    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+    def scat(vals, fill, dtype):
+        out = jnp.full((c_total, cap), fill, dtype)
+        return out.at[sorted_cid, rank_clip].set(vals, mode="drop")
+
+    pos_sorted = pos[order]
+    px = scat(pos_sorted[:, 0], 0.0, pos.dtype)
+    py = scat(pos_sorted[:, 1], 0.0, pos.dtype)
+    pz = scat(pos_sorted[:, 2], 0.0, pos.dtype)
+    pid = scat(order, n, jnp.int32)
+    mask = scat(jnp.ones((n,), pos.dtype), 0.0, pos.dtype)
+
+    return CellBins(
+        px=px, py=py, pz=pz, mask=mask, pid=pid,
+        cell_of=cid, rank_of=rank_of, overflow=overflow,
+    )
+
+
 def to_cells(bins: CellBins, spec: BinSpec, values: jax.Array, fill=0.0) -> jax.Array:
     """Scatter per-particle values (N,) into (C, cap) cell layout."""
     out = jnp.full((spec.n_cells_total, spec.cap), fill, values.dtype)

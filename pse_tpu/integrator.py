@@ -39,10 +39,11 @@ import jax
 import jax.numpy as jnp
 
 from .box import Box, wrap
-from .cellbins import bin_particles, vec_from_cells, vec_to_cells
+from .cellbins import bin_columns, bin_particles, vec_from_cells, vec_to_cells
 from .neighbors import NeighborSpec, build_neighbor_list
 from .params import PSEParams, gridk_arrays
 from .ops import farfield, lanczos, nearfield, noise
+from .ops import banded_nearfield as bdn
 from .ops import blocked_farfield as bff
 from .ops import blocked_nearfield as bnf
 from .ops.chebyshev import ChebPair, fit_pair_functions
@@ -80,11 +81,12 @@ class StepConfig:
     thermal: bool = True                   # compile the Brownian branches
     m_max: int = 100                       # Lanczos cap (Brownian.cu:397)
     seed: int = 0
-    engine: str = "gather"                 # "blocked" | "gather"
+    engine: str = "gather"                 # "banded" | "blocked" | "gather"
     nf_spec: Optional[bnf.NfSpec] = None
     ff_spec: Optional[bff.FfSpec] = None
     cheb: Optional[ChebPair] = None
     has_forces: bool = True                # compile the deterministic M·F path
+    band_spec: Optional[bdn.BandSpec] = None
 
     def __post_init__(self):
         # Invariant: a step must compile at least one of the two branches.
@@ -101,7 +103,8 @@ class StepConfig:
     def __hash__(self):
         return hash(
             (self.params, self.nbr_spec, self.thermal, self.m_max, self.seed,
-             self.engine, self.nf_spec, self.ff_spec, self.has_forces)
+             self.engine, self.nf_spec, self.ff_spec, self.has_forces,
+             self.band_spec)
         )
 
 
@@ -117,6 +120,8 @@ def make_config(
     block_dtype: str | None = None,
     use_pallas: bool | None = None,
     has_forces: bool = True,
+    shard_slabs: int = 1,
+    fused_farfield: bool = False,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
@@ -152,7 +157,27 @@ def make_config(
         max_neighbors=max_neighbors,
     )
 
-    nf_spec = ff_spec = cheb = None
+    nf_spec = ff_spec = cheb = band_spec = None
+    if engine == "banded":
+        # Banded near-field (ops/banded_nearfield.py) + blocked far field.
+        # The fused Pallas far field (ops/pallas_farfield.py) is validated
+        # but measured SLOWER at bench scale (its (cell, offset) grid is
+        # ~187k steps of ~2k flops each — per-step overhead dominates);
+        # opt in via fused_farfield until the z-column batched version lands.
+        ff_spec = bff.make_ff_spec(params, n_particles)
+        if ff_spec is not None and fused_farfield:
+            ff_spec = ff_spec._replace(fused=True, store_weights=False)
+        band_spec = bdn.make_band_spec(
+            n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
+            block_dtype=block_dtype, ncx_multiple=shard_slabs,
+        )
+        if ff_spec is None or band_spec is None:
+            engine = "blocked"                 # geometry too small to band
+            ff_spec = band_spec = None
+        else:
+            cheb = fit_pair_functions(
+                params.xi, params.ewald_dr, params.ewald_cut, params.radius
+            )
     if engine == "blocked":
         ff_spec = bff.make_ff_spec(params, n_particles)
         nf_spec = bnf.make_nf_spec(
@@ -176,7 +201,7 @@ def make_config(
     return StepConfig(
         params=params, nbr_spec=nbr_spec, thermal=thermal, m_max=m_max,
         seed=seed, engine=engine, nf_spec=nf_spec, ff_spec=ff_spec, cheb=cheb,
-        has_forces=has_forces,
+        has_forces=has_forces, band_spec=band_spec,
     )
 
 
@@ -194,6 +219,15 @@ def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
         bins = config.ff_spec.bins
         changes["ff_spec"] = config.ff_spec._replace(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
+        )
+    if config.band_spec is not None:
+        bs = config.band_spec
+        rows = bs.rows
+        changes["band_spec"] = bs._replace(
+            bins=bs.bins._replace(
+                cap=int(-(-bs.bins.cap * factor // rows)) * rows
+            ),
+            window=bs.window + 128,    # band overflow shares the sticky flag
         )
     return dataclasses.replace(config, **changes)
 
@@ -231,6 +265,20 @@ class _BlockedCtx(NamedTuple):
     ff_weights: object     # (noff, C, cap, s³) shared NUFFT weights, or None
 
 
+class _BandedCtx(NamedTuple):
+    nf_bins: object        # z-sorted column bins (cellbins.bin_columns)
+    ff_bins: object
+    j0: jax.Array          # (O, C, T) i32 band window starts
+    n_valid: jax.Array     # (C,) i32 occupied slots per column
+    blocks: jax.Array      # (O, C, 6, S, W) banded pair blocks
+    ff_weights: object
+
+
+def _pallas_interpret() -> bool:
+    """Run the Pallas kernels interpreted off-TPU (CPU tests, dryruns)."""
+    return jax.default_backend() != "tpu"
+
+
 def _prepare_gather(config, pos, box):
     p = config.params
     nlist = build_neighbor_list(pos, box, config.nbr_spec)
@@ -256,6 +304,27 @@ def _prepare_blocked(config, pos, box):
     )
     overflow = nf_bins.overflow | ff_bins.overflow
     return _BlockedCtx(nf_bins, ff_bins, blocks, ff_weights), overflow
+
+
+def _prepare_banded(config, pos, box):
+    p = config.params
+    bs = config.band_spec
+    nf_bins = bin_columns(pos, box, bs.bins)
+    ff_bins = bin_particles(pos, box, config.ff_spec.bins)
+    j0, n_valid, band_overflow = bdn.compute_windows(
+        nf_bins, bs, box, p.ewald_cut
+    )
+    blocks = bdn.build_banded_blocks(
+        nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut, p.ewald_dr,
+        j0, n_valid, interpret=_pallas_interpret(),
+    )
+    ff_weights = (
+        bff.build_weights(ff_bins, box, config.ff_spec, p)
+        if config.ff_spec.store_weights
+        else None
+    )
+    overflow = nf_bins.overflow | ff_bins.overflow | band_overflow
+    return _BandedCtx(nf_bins, ff_bins, j0, n_valid, blocks, ff_weights), overflow
 
 
 def _nf_cells_of(config, ctx, values):
@@ -289,6 +358,65 @@ def _engine(config: StepConfig):
 
         def psi_result_to_particles(ctx, u):
             return u
+    elif config.engine == "banded":
+        from .ops import pallas_farfield as pff
+
+        bs = config.band_spec
+        ff_spec = config.ff_spec
+
+        def mreal_t(ctx, ft):
+            C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
+            cells = ft.reshape(3, C, bs.bins.cap)
+            return bdn.matvec_banded(
+                ctx.blocks, ctx.j0, ctx.n_valid, bs, cells, p.self_mobility,
+                interpret=_pallas_interpret(),
+            ).reshape(3, -1)
+
+        def mreal_particles(ctx, forces):
+            cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
+            u = bdn.matvec_banded(
+                ctx.blocks, ctx.j0, ctx.n_valid, bs, cells, p.self_mobility,
+                interpret=_pallas_interpret(),
+            )
+            return vec_from_cells(ctx.nf_bins, bs.bins, u)
+
+        def spread(ctx, box, forces):
+            f_cells = vec_to_cells(ctx.ff_bins, ff_spec.bins, forces)
+            if ff_spec.fused:
+                return pff.spread_fused(
+                    ctx.ff_bins, f_cells, box, ff_spec, p,
+                    interpret=_pallas_interpret(),
+                )
+            return bff.spread_blocked(
+                ctx.ff_bins, f_cells, box, ff_spec, p, weights=ctx.ff_weights
+            )
+
+        def contract(ctx, box, grid_v):
+            if ff_spec.fused:
+                u_cells = pff.contract_fused(
+                    ctx.ff_bins, grid_v, box, ff_spec, p,
+                    interpret=_pallas_interpret(),
+                )
+            else:
+                u_cells = bff.contract_blocked(
+                    ctx.ff_bins, grid_v, box, ff_spec, p,
+                    weights=ctx.ff_weights,
+                )
+            return vec_from_cells(ctx.ff_bins, ff_spec.bins, u_cells)
+
+        def slots_of_psi(ctx, key, n):
+            spec = bs.bins
+            u = noise.particle_noise(
+                key, spec.n_cells[0] * spec.n_cells[1] * spec.cap
+            )
+            m = ctx.nf_bins.mask.reshape(-1)
+            return u * m[:, None]                          # (C*cap, 3)
+
+        def psi_result_to_particles(ctx, u):
+            spec = bs.bins
+            C = spec.n_cells[0] * spec.n_cells[1]
+            cells = u.T.reshape(3, C, spec.cap)
+            return vec_from_cells(ctx.nf_bins, spec, cells)
     else:
         nf_spec = config.nf_spec
         ff_spec = config.ff_spec
@@ -342,7 +470,11 @@ def _engine(config: StepConfig):
         pass
 
     e = E()
-    e.prepare = _prepare_gather if config.engine == "gather" else _prepare_blocked
+    e.prepare = {
+        "gather": _prepare_gather,
+        "banded": _prepare_banded,
+        "blocked": _prepare_blocked,
+    }[config.engine]
     e.mreal_t = mreal_t
     e.mreal_particles = mreal_particles
     e.spread = spread
@@ -364,11 +496,16 @@ def mobility(config: StepConfig, pos, forces, tilt_xy=0.0):
 
     Returns (velocities (N,3), capacity_overflow bool).
     """
+    return mobility_impl(config, _engine(config), pos, forces, tilt_xy)
+
+
+def mobility_impl(config: StepConfig, eng, pos, forces, tilt_xy=0.0):
+    """``mobility`` body with an injectable engine (parallel/halo.py swaps in
+    a shard_map near-field)."""
     p = config.params
     pos = jnp.asarray(pos, jnp.float32)
     forces = jnp.asarray(forces, jnp.float32)
     box = _box_of(config, tilt_xy)
-    eng = _engine(config)
 
     ctx, overflow = eng.prepare(config, pos, box)
     u_real = eng.mreal_particles(ctx, forces)
@@ -433,13 +570,28 @@ def step(
 
     Returns (new_state, info dict with velocities / overflow / m_lanczos).
     """
+    return step_impl(
+        config, _engine(config), state, forces, T, dt, shear_rate, new_tilt
+    )
+
+
+def step_impl(
+    config: StepConfig,
+    eng,
+    state: State,
+    forces: jax.Array,
+    T,
+    dt,
+    shear_rate,
+    new_tilt=None,
+):
+    """``step`` body with an injectable engine (see parallel/halo.py)."""
     p = config.params
     pos = state.pos
     box = _box_of(config, state.tilt_xy)
     n = pos.shape[0]
     T = jnp.asarray(T, jnp.float32)
     dt = jnp.asarray(dt, jnp.float32)
-    eng = _engine(config)
 
     key = jax.random.fold_in(
         jax.random.PRNGKey(hash_seed(config.seed)), state.step

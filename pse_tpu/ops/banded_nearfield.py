@@ -1,0 +1,507 @@
+"""Banded near-field: z-sorted columns + rank-band mobility blocks (Pallas).
+
+Third-generation TPU design of the neighbor-list matvec
+(gpu_stokes_Mreal_kernel, Mobility.cu:594-687), superseding the dense
+cell-blocked formulation (ops/blocked_nearfield.py) on the hot path.
+
+The dense (cap x cap) cell-pair blocks measure ~90% zeros (mask padding x
+out-of-range pairs), and streaming them dominates the step (~85% of device
+time at N=100k).  This module exploits the one geometric fact a dense layout
+can express cheaply: after sorting each (x, y) column of particles by z, the
+partners of a particle within ``rcut`` occupy a CONTIGUOUS RANK BAND of each
+neighboring column.  So the mobility between a 16-row tile of column c and
+column c' is a single (16 x 128) block whose 128 columns start at a
+per-(tile, column-pair) window offset j0 computed from the sorted z values.
+
+Storage per matvec drops from noff*cap/128-ish dense waste to
+    A: (noff=9, C, 6, cap, W=128)   [bfloat16]
+~6x less HBM traffic than the dense engine at bench scale, with the window
+slack (density fluctuations) the only remaining overcompute.
+
+Layout contract (all built by cellbins.bin_columns):
+  * columns are (x, y) cells >= rcut wide (x tilt-inflated), z-sorted;
+  * padded slots sort last (mask 0, positions 0);
+  * the window indexes an EXTENDED slot axis of length cap + W whose tail
+    repeats slots [0, W) — a z-band that wraps the periodic box stays
+    contiguous in extended coordinates (min-image handles the physics).
+
+Kernels (Pallas, forward-only full stencil):
+  * build_banded_blocks (grid = (offset, column)): per tile, window geometry
+    + piecewise-Chebyshev pair functions (ops/chebyshev.py) -> 6 symmetric
+    tensor components.
+  * matvec_banded (grid = (column, offset) — offsets INNER so each column's
+    result accumulates in a VMEM scratch): stream A once; u(tile) +=
+    sum_w A . f(window), with f and u resident in VMEM for the whole sweep,
+    lane reductions on the MXU via a ones contraction.
+
+Window coverage is checked at build time (compute_windows): any band wider
+than W sets a sticky overflow flag, reusing the rewind+regrow machinery of
+the other engines (api.Simulation.run).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..box import Box
+from ..cellbins import BinSpec, CellBins, roll_cells
+from .chebyshev import ChebPair, eval_pair_functions
+
+
+def full_xy_offsets():
+    """(0,0) first (the self-pair-excluded block), then the 8 neighbors."""
+    offs = [(0, 0)]
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if (ox, oy) != (0, 0):
+                offs.append((ox, oy))
+    return tuple(offs)
+
+
+class BandSpec(NamedTuple):
+    """Static banded-near-field configuration (hashable, baked into jit)."""
+
+    bins: BinSpec            # n_cells = (ncx, ncy, 1); cap = slots per column
+    offsets: tuple           # xy stencil offsets, (0, 0) first
+    window: int              # W — band window width (multiple of 128)
+    rows: int                # R — row-tile height (multiple of 8)
+    block_dtype: str = "bfloat16"
+
+
+def make_band_spec(
+    n_particles: int,
+    L,
+    rcut: float,
+    max_tilt: float = 0.5,
+    block_dtype: str = "bfloat16",
+    rows: int = 16,
+    ncx_multiple: int = 1,
+) -> BandSpec | None:
+    """Choose column counts / capacity / window, or None when the geometry
+    doesn't support the banded layout (small boxes or sparse columns fall
+    back to the dense blocked engine).
+
+    ``ncx_multiple``: round the x column count down to this multiple so the
+    column grid divides into equal x-slabs (parallel/halo.py shards one slab
+    per device)."""
+    L = tuple(float(x) for x in L)
+    ncx = int(math.floor(L[0] / (rcut * (1.0 + abs(max_tilt)))))
+    ncy = int(math.floor(L[1] / rcut))
+    ncx = (ncx // ncx_multiple) * ncx_multiple
+    if ncx < max(3, ncx_multiple) or ncy < 3:
+        return None
+
+    mu = n_particles / (ncx * ncy)            # mean column occupancy
+    cap = int(math.ceil((mu + 5.0 * math.sqrt(mu) + 8.0) / rows)) * rows
+
+    # Expected band: ranks within 2*rcut of z, plus the tile extent, plus
+    # slack for occupancy fluctuations between neighboring columns.
+    band = 2.0 * rcut / L[2] * mu
+    need = band + rows + 6.0 * math.sqrt(max(band, 1.0)) + 16.0
+    window = int(math.ceil(need / 128.0)) * 128
+    if window > 256 or cap < window:
+        return None                            # banded layout not profitable
+    return BandSpec(
+        bins=BinSpec(n_cells=(ncx, ncy, 1), cap=cap),
+        offsets=full_xy_offsets(),
+        window=window,
+        rows=rows,
+        block_dtype=block_dtype,
+    )
+
+
+def compute_windows(
+    bins: CellBins, spec: BandSpec, box: Box, rcut: float, col_mask=None
+):
+    """Per-(offset, column, tile) band window starts in CYCLIC rank
+    coordinates.
+
+    For tile t of column c and neighbor column c' = c + o, ranks are counted
+    on the cyclic axis [0, n_valid(c') + ...): index k < n_valid is rank k,
+    index n_valid + k is rank k again one period up (z + Lz).  Pad slots
+    (which sort last) do not exist on this axis, so a z-band that wraps the
+    periodic seam stays contiguous.  The kernels reconstruct slot indices
+    with the per-column valid count (see matvec/build kernels).
+
+    j0 is quantized down to a multiple of 8 for aligned lane access.
+    Returns (j0 (O, C, T) int32, n_valid (C,) int32, band_overflow bool):
+    overflow is set when a tile's band exceeds the effective window
+    min(W, n_valid) — the regrow path widens W.
+    """
+    S = spec.bins.cap
+    R = spec.rows
+    W = spec.window
+    T = S // R
+    Lz = box.L[2]
+    lo_z = box.lo[2]
+
+    z = jnp.where(bins.mask > 0, bins.pz, jnp.inf)        # (C, S) sorted asc
+    n_valid = jnp.sum(bins.mask > 0, axis=1).astype(jnp.int32)   # (C,)
+    z_lo = z[:, ::R]                                       # (C, T)
+    zt = z.reshape(z.shape[0], T, R)
+    z_hi = jnp.max(jnp.where(jnp.isfinite(zt), zt, -jnp.inf), axis=2)
+
+    zb = z_lo - rcut
+    shift = jnp.where(zb < lo_z, Lz, 0.0)                  # wrap the band
+    zb = zb + shift
+    ze = z_hi + rcut + shift
+    valid_tile = jnp.isfinite(z_lo)
+    if col_mask is not None:
+        # halo decomposition (parallel/halo.py): only interior columns'
+        # windows are consumed; halo rows may see wrong rolled data
+        valid_tile = valid_tile & col_mask[:, None]
+
+    j0s = []
+    overflow = jnp.asarray(False)
+    for (ox, oy) in spec.offsets:
+        zn = roll_cells(z, spec.bins, (ox, oy, 0))         # neighbor column z
+        nv = roll_cells(n_valid[:, None], spec.bins, (ox, oy, 0))[:, 0]
+
+        def count_below(thr, zn=zn):
+            main = jnp.sum(zn[:, None, :] < thr[:, :, None], axis=2)
+            wrap = jnp.sum(zn[:, None, :] + Lz < thr[:, :, None], axis=2)
+            return (main + wrap).astype(jnp.int32)
+
+        j0 = count_below(zb)
+        j1 = count_below(ze)
+        # Cyclic coverage is min(W, n_valid) distinct slots; a band interval
+        # longer than Lz double-counts ranks, hence the min with n_valid.
+        band = jnp.minimum(j1 - j0, nv[:, None])
+        overflow = overflow | jnp.any(valid_tile & (band > W - 8))
+        # A window starting past one full period aliases cyclically.
+        j0 = jnp.where(j0 >= nv[:, None], j0 - nv[:, None], j0)
+        j0s.append(jnp.clip(j0 // 8 * 8, 0, S))
+    return jnp.stack(j0s, axis=0), n_valid, overflow
+
+
+def extend_slots(arr: jax.Array, spec: BandSpec) -> jax.Array:
+    """(..., C, S) -> (..., C, S + W + 128): append wrap copies of slots
+    [0, W + 128).  The extra 128 covers the 128-aligned wide reads the
+    kernels use (Mosaic requires lane-dim loads at multiples of 128; the
+    kernels read [align(start), align(start) + W + 128) and rotate)."""
+    pad = spec.window + 128
+    reps = -(-pad // arr.shape[-1])
+    tail = jnp.concatenate([arr] * reps, axis=-1)[..., :pad] if reps > 1 else arr[..., :pad]
+    return jnp.concatenate([arr, tail], axis=-1)
+
+
+def _neighbor_column(c, ox, oy, ncx, ncy):
+    cx = jax.lax.div(c, ncy)
+    cy = jax.lax.rem(c, ncy)
+    nx = jax.lax.rem(cx + ox + ncx, ncx)
+    ny = jax.lax.rem(cy + oy + ncy, ncy)
+    return nx * ncy + ny
+
+
+def _pair_components(
+    xi, yi, zi, mi,            # (R, 1) tile coordinates / mask
+    xj, yj, zj, mj,            # (1, W) window coordinates
+    tilt,                      # scalar
+    *,
+    L, cheb: ChebPair, cut2: float, dr2: float, same_slot,
+):
+    """The 6 symmetric RPY-Ewald tensor components for one (tile, window).
+
+    Pure VPU math shared by the build kernel; same formulas as
+    blocked_nearfield.build_pair_blocks (Mobility.cu:661-677 semantics with
+    Chebyshev pair functions instead of the texture table).
+    """
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    # minimum image, xy-tilted box (box.min_image_components)
+    img_z = jnp.round(dz / L[2])
+    dz = dz - L[2] * img_z
+    img_y = jnp.round(dy / L[1])
+    dy = dy - L[1] * img_y
+    dx = dx - tilt * L[1] * img_y
+    img_x = jnp.round(dx / L[0])
+    dx = dx - L[0] * img_x
+
+    d2 = dx * dx + dy * dy + dz * dz
+    valid = (mi * mj > 0.0) & (d2 < cut2) & (d2 >= dr2) & ~same_slot
+
+    d2_safe = jnp.where(valid, d2, 1.0)
+    dist = jnp.sqrt(d2_safe)
+    uf1, uf2 = eval_pair_functions(cheb, dist)
+    imrr = jnp.where(valid, uf1, 0.0)
+    bco = jnp.where(valid, uf2 - uf1, 0.0)
+    inv_d = 1.0 / dist
+    ex = dx * inv_d
+    ey = dy * inv_d
+    ez = dz * inv_d
+    return (
+        imrr + bco * ex * ex,
+        bco * ex * ey,
+        bco * ex * ez,
+        imrr + bco * ey * ey,
+        bco * ey * ez,
+        imrr + bco * ez * ez,
+    )
+
+
+def _stacked_window_read(ref, col, j0, nv, S, W):
+    """All leading components of ``ref`` (K, C, S_ext) windowed at once:
+    one aligned wide read + one dynamic lane rotate per (main, wrap) slice
+    instead of one per component.  Returns (K, W)."""
+    K = ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    use_main = (j0 + iota) < nv
+
+    def rot_read(start):
+        a = pl.multiple_of(start // 128 * 128, 128)
+        wide = ref[:, pl.ds(col, 1), pl.ds(a, W + 128)].reshape(K, W + 128)
+        return pltpu.roll(wide, a - start, 1)[:, :W]
+
+    return jnp.where(use_main, rot_read(j0), rot_read(S + j0 - nv))
+
+
+def _build_kernel(
+    offs_ref, nv_ref, tilt_ref, j0_ref, posm_ref, posm_t_ref, a_ref, *,
+    spec: BandSpec, L, cheb, cut2, dr2,
+):
+    ncx, ncy, _ = spec.bins.n_cells
+    S = spec.bins.cap
+    R = spec.rows
+    W = spec.window
+    T = S // R
+    dtype = jnp.dtype(spec.block_dtype)
+
+    o_i = pl.program_id(0)
+    c = pl.program_id(1)
+    ox = offs_ref[o_i, 0]
+    oy = offs_ref[o_i, 1]
+    tilt = tilt_ref[0]
+    nbr = _neighbor_column(c, ox, oy, ncx, ncy)
+    nv = nv_ref[nbr]
+
+    # Own column with rows on sublanes, from the pre-transposed lane-padded
+    # copy (avoids in-kernel lane->sublane relayouts).  Lane loads must be
+    # 128-aligned, so read a 128-lane stripe and rotate column c to lane 0.
+    def col_read(k):
+        a = pl.multiple_of(c // 128 * 128, 128)
+        wide = posm_t_ref[k, :, pl.ds(a, 128)]              # (S, 128)
+        return pltpu.roll(wide, a - c, 1)[:, :1]            # (S, 1)
+
+    xi_col = col_read(0)
+    yi_col = col_read(1)
+    zi_col = col_read(2)
+    mi_col = col_read(3)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    is_self = o_i == 0
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    for t in range(T):
+        j0 = j0_ref[o_i, c, t]
+        sl = slice(t * R, (t + 1) * R)
+        win = _stacked_window_read(posm_ref, nbr, j0, nv, S, W)   # (4, W)
+        xj, yj, zj, mj = (win[k:k + 1] for k in range(4))
+        use_main = (j0 + iota_w) < nv
+        lane_ok = iota_w < nv
+        jslot = jnp.where(use_main, j0 + iota_w, j0 + iota_w - nv)
+        mj = jnp.where(lane_ok, mj, 0.0)
+
+        islot = t * R + iota_r                              # (R, 1)
+        same = is_self & (jslot == islot)
+
+        comps = _pair_components(
+            xi_col[sl], yi_col[sl], zi_col[sl], mi_col[sl],
+            xj, yj, zj, mj, tilt,
+            L=L, cheb=cheb, cut2=cut2, dr2=dr2, same_slot=same,
+        )
+        for k in range(6):
+            a_ref[0, 0, k, sl, :] = comps[k].astype(dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "cheb", "L", "ewald_cut", "ewald_dr", "interpret"),
+)
+def build_banded_blocks(
+    bins: CellBins,
+    tilt_xy,
+    spec: BandSpec,
+    cheb: ChebPair,
+    L: tuple,                  # static (Lx, Ly, Lz) from PSEParams
+    ewald_cut: float,
+    ewald_dr: float,
+    j0: jax.Array,             # (O, C, T) int32 from compute_windows
+    n_valid: jax.Array,        # (C,) int32 from compute_windows
+    interpret: bool = False,
+) -> jax.Array:
+    """A (O, C, 6, S, W) banded pair blocks, built once per step."""
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    S = spec.bins.cap
+    W = spec.window
+    O = len(spec.offsets)
+
+    posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
+    posm_ext = extend_slots(posm, spec)                   # (4, C, S + W + 128)
+    posm_t = posm.transpose(0, 2, 1)                      # (4, S, C) row tiles
+    c_pad = -(-C // 128) * 128                            # aligned lane reads
+    posm_t = jnp.pad(posm_t, ((0, 0), (0, 0), (0, c_pad - C)))
+    offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
+    tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
+
+    kernel = partial(
+        _build_kernel,
+        spec=spec,
+        L=tuple(float(x) for x in L),
+        cheb=cheb,
+        cut2=float(ewald_cut) ** 2,
+        dr2=float(ewald_dr) ** 2,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(O, C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_ext (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_t (whole)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 6, S, W), lambda o, c: (o, c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (O, C, 6, S, W), jnp.dtype(spec.block_dtype)
+        ),
+        interpret=interpret,
+    )(offsets_arr, n_valid, tilt, j0, posm_ext, posm_t)
+
+
+def _matvec_kernel(
+    offs_ref, nv_ref, j0_ref, a_ref, f_ref, u_ref, acc_ref, *,
+    spec: BandSpec, n_offsets: int,
+):
+    """Grid (column, offset): offsets are the inner axis so each column's
+    result accumulates in the VMEM scratch and hits the (3, S, C) transposed
+    output with ONE aligned 128-lane read-modify-write per column.  Rows
+    live on sublanes so per-tile reductions land without relayouts; the
+    caller transposes back and adds the self term.
+
+    Per tile, the band product is 9 (R, W) FMAs; the lane reduction runs on
+    the MXU as a ones-vector contraction (a 7-step VPU shuffle reduce per
+    tile measured ~2x the FMA cost)."""
+    ncx, ncy, _ = spec.bins.n_cells
+    S = spec.bins.cap
+    R = spec.rows
+    W = spec.window
+    T = S // R
+
+    c = pl.program_id(0)
+    o_i = pl.program_id(1)
+
+    @pl.when((o_i == 0) & (c == 0))
+    def _zero_out():
+        u_ref[:] = jnp.zeros_like(u_ref)
+
+    @pl.when(o_i == 0)
+    def _zero_acc():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ox = offs_ref[o_i, 0]
+    oy = offs_ref[o_i, 1]
+    nbr = _neighbor_column(c, ox, oy, ncx, ncy)
+    nv = nv_ref[nbr]
+    a_dtype = a_ref.dtype
+    precision = (
+        jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
+    )
+
+    # Symmetric-component row blocks of the stacked (6R, W) @ (W, 3) dot:
+    # res rows [k*R:(k+1)*R] hold A_k · f_c for every (component k, force
+    # column c) pair; u_x = xx·fx + xy·fy + xz·fz picks (row 0, col 0),
+    # (row 1, col 1), (row 2, col 2), etc.
+    SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+    for t in range(T):
+        j0 = j0_ref[o_i, c, t]
+        # A folds the lane-validity mask in at build time, so the window
+        # reads here don't need lane_ok (junk lanes multiply zeros).
+        fw = _stacked_window_read(f_ref, nbr, j0, nv, S, W)    # (3, W)
+        sl = slice(t * R, (t + 1) * R)
+        a_stack = a_ref[0, 0, :, sl, :].reshape(6 * R, W)      # (6R, W)
+        # ONE MXU dot per tile (contract over lanes of both operands): no
+        # VPU bf16->f32 converts, FMAs, or shuffle reduces.  f is cast to
+        # the block dtype — for bf16 blocks that adds < the bf16 A error.
+        res = jax.lax.dot_general(
+            a_stack, fw.astype(a_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                                      # (6R, 3)
+        for r in range(3):
+            acc_ref[r, sl, :] += (
+                res[SYM[r][0] * R:(SYM[r][0] + 1) * R, 0:1]
+                + res[SYM[r][1] * R:(SYM[r][1] + 1) * R, 1:2]
+                + res[SYM[r][2] * R:(SYM[r][2] + 1) * R, 2:3]
+            )                                                  # (R, 1)
+
+    @pl.when(o_i == n_offsets - 1)
+    def _flush():
+        # Lane stores must be 128-aligned: rotate the (S, 1) column result
+        # to lane c - a of a zero stripe, then one aligned RMW per comp.
+        a = pl.multiple_of(c // 128 * 128, 128)
+        for r in range(3):
+            placed = pltpu.roll(
+                jnp.pad(acc_ref[r], ((0, 0), (0, 127))), c - a, 1
+            )
+            u_ref[r, :, pl.ds(a, 128)] += placed
+
+
+@partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret"))
+def matvec_banded(
+    blocks: jax.Array,         # (O, C, 6, S, W) from build_banded_blocks
+    j0: jax.Array,             # (O, C, T) int32
+    n_valid: jax.Array,        # (C,) int32
+    spec: BandSpec,
+    f_cells: jax.Array,        # (3, C, S) f32 — padded slots MUST be zero
+    self_mobility,
+    interpret: bool = False,
+) -> jax.Array:
+    """u = M_real · f in column layout: one streamed read of the band."""
+    O = len(spec.offsets)
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    S = spec.bins.cap
+    W = spec.window
+    f_cells = f_cells.astype(jnp.float32)
+    f_ext = extend_slots(f_cells, spec)
+    offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
+    c_pad = -(-C // 128) * 128                # aligned lane stores
+
+    kernel = partial(_matvec_kernel, spec=spec, n_offsets=O)
+    u_t = pl.pallas_call(
+        kernel,
+        grid=(C, O),                                      # offsets inner:
+        in_specs=[                                        # column acc stays
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
+            pl.BlockSpec((1, 1, 6, S, W), lambda c, o: (o, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # A (streamed)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_ext (whole)
+        ],
+        out_specs=pl.BlockSpec(
+            (3, S, c_pad), lambda c, o: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3, S, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(offsets_arr, n_valid, j0, blocks, f_ext)
+    return u_t[:, :, :C].transpose(0, 2, 1) + self_mobility * f_cells

@@ -41,6 +41,8 @@ class FfSpec(NamedTuple):
     s: tuple                # (sx, sy, sz) nodes per block per axis
     offsets: tuple          # full stencil (reach 1)
     store_weights: bool = True   # build W once per step, share spread/contract
+    full_precision: bool = False  # f32 MXU passes for the W contractions
+    fused: bool = False          # Pallas fused spread/contract (no stored W)
 
 
 def _axis_divisors(n_grid: int, p: int):
@@ -83,7 +85,13 @@ def make_ff_spec(params: PSEParams, n_particles: int) -> FfSpec | None:
     mu = n_particles / (nc[0] * nc[1] * nc[2])
     cap = max(8, int(math.ceil((mu + 5.0 * math.sqrt(mu) + 4.0) / 8.0)) * 8)
     cap = min(cap, max(8, int(math.ceil(n_particles / 8.0)) * 8))
-    return FfSpec(bins=BinSpec(n_cells=nc, cap=cap), s=s, offsets=full_offsets(1))
+    # TPU default f32 contractions are bf16-grade (~1e-3 relative) — at or
+    # under the method's default error target.  A stricter requested error
+    # needs full-precision passes (~3x MXU time on the spread/contract).
+    return FfSpec(
+        bins=BinSpec(n_cells=nc, cap=cap), s=s, offsets=full_offsets(1),
+        full_precision=params.error < 1e-3,
+    )
 
 
 def _block_coords(spec: FfSpec):
@@ -220,7 +228,8 @@ def spread_blocked(
             [roll_cells(f_cells[c], spec.bins, o) for c in range(3)], axis=1
         )                                                   # (C, 3, cap)
         acc = acc + jnp.einsum(
-            "bpn,bcp->bcn", W, fr, preferred_element_type=jnp.float32
+            "bpn,bcp->bcn", W, fr, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if spec.full_precision else None,
         ).astype(acc.dtype)
 
     acc = acc * jnp.asarray(params.spread_prefac, acc.dtype)
@@ -252,7 +261,8 @@ def contract_blocked(
         else:
             W = weights[oi]                                 # (C, cap, s³)
         contrib = jnp.einsum(
-            "bpn,bcn->bcp", W, v, preferred_element_type=jnp.float32
+            "bpn,bcn->bcp", W, v, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if spec.full_precision else None,
         ).astype(u.dtype)
         u = u + roll_cells(contrib, spec.bins, (-o[0], -o[1], -o[2]))
 

@@ -171,15 +171,26 @@ def matvec_cells(
     uy = self_mobility * fy * bins.mask
     uz = self_mobility * fz * bins.mask
 
+    # f32 blocks promise f32 accuracy: force full-precision MXU passes (the
+    # TPU default computes f32 contractions at bf16 grade, ~1e-3 relative).
+    # bf16 blocks already cap accuracy, so they keep the fast default.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if blocks.dtype == jnp.float32
+        else None
+    )
+
     def gemv(A, v):
         # (C, cap, cap) @ (C, cap) -> (C, cap)
         return jnp.einsum(
-            "bij,bj->bi", A, v, preferred_element_type=jnp.float32
+            "bij,bj->bi", A, v, preferred_element_type=jnp.float32,
+            precision=precision,
         ).astype(dtype)
 
     def gemv_t(A, v):
         return jnp.einsum(
-            "bij,bi->bj", A, v, preferred_element_type=jnp.float32
+            "bij,bi->bj", A, v, preferred_element_type=jnp.float32,
+            precision=precision,
         ).astype(dtype)
 
     for oi, o in enumerate(spec.offsets):

@@ -111,12 +111,13 @@ def eval_pair_functions(cheb: ChebPair, r: jax.Array):
     t = jnp.where(in_lo, t_lo, t_hi)
     t2 = 2.0 * t
 
-    c1_lo, c2_lo, c1_hi, c2_hi = (
-        jnp.asarray(c, jnp.float32) for c in cheb.coeffs
-    )
+    # Coefficients stay python floats (indexed statically): XLA folds them
+    # into the kernel as immediates, and Pallas kernels reject captured
+    # constant arrays, so no jnp arrays are built here.
+    c1_lo, c2_lo, c1_hi, c2_hi = cheb.coeffs
 
     def clenshaw(c_lo_arr, c_hi_arr):
-        deg = c_lo_arr.shape[0] - 1
+        deg = len(c_lo_arr) - 1
         b1 = jnp.zeros_like(t)
         b2 = jnp.zeros_like(t)
         for k in range(deg, 0, -1):

@@ -1,0 +1,157 @@
+"""Banded (z-sorted column) engine validation against the gather engine.
+
+The banded engine (ops/banded_nearfield.py) is the round-2 TPU hot path:
+same physics as the blocked engine, near-field stored as rank-band blocks.
+Pallas kernels run in interpret mode on CPU (integrator._pallas_interpret).
+
+The banded layout needs well-occupied columns (capacity >= window), so these
+tests use denser systems than test_blocked.py: N ~ 1000-3000 in a ~24-box.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pse_tpu as pse
+from pse_tpu import integrator
+
+
+def _setup(n, L, xi=0.5, tilt=0.0, seed=0, thermal=False, **kw):
+    rng = np.random.default_rng(seed)
+    params = pse.make_params(xi=xi, error=1e-3, L=L)
+    box = pse.make_box(L, tilt)
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    pos, _ = pse.box.wrap(box, jnp.asarray(pos), jnp.zeros((n, 3), jnp.int32))
+    pos = np.asarray(pos)
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    cfg_g = integrator.make_config(params, n, thermal=thermal, engine="gather")
+    cfg_b = integrator.make_config(
+        params, n, thermal=thermal, engine="banded", **kw
+    )
+    return cfg_g, cfg_b, pos, forces
+
+
+def _rel(a, b):
+    return np.linalg.norm(np.asarray(a) - np.asarray(b)) / np.linalg.norm(
+        np.asarray(b)
+    )
+
+
+def test_banded_engages_and_falls_back():
+    _, cfg_b, _, _ = _setup(1080, 24.0)
+    assert cfg_b.engine == "banded"
+    assert cfg_b.band_spec is not None and cfg_b.ff_spec is not None
+    # sparse columns: banded refuses, falls back to blocked
+    _, cfg_small, _, _ = _setup(64, 24.0)
+    assert cfg_small.engine == "blocked"
+
+
+def test_banded_matches_blocked_float32():
+    """Banding is exact: f32 banded == f32 blocked (same Chebyshev pair
+    functions) to arithmetic-order noise.  The gather engine differs at
+    ~1e-4 because it uses the reference's linear-interpolation table."""
+    _, cfg_b, pos, forces = _setup(1080, 24.0, seed=1, block_dtype="float32")
+    params = cfg_b.params
+    cfg_d = integrator.make_config(params, pos.shape[0], thermal=False,
+                                   engine="blocked", block_dtype="float32")
+    ud, od = integrator.mobility(cfg_d, pos, forces)
+    ub, ob = integrator.mobility(cfg_b, pos, forces)
+    assert not bool(od) and not bool(ob)
+    assert _rel(ub, ud) < 2e-5
+
+
+def test_banded_matches_gather_bf16_tilted():
+    tilt = 0.3
+    cfg_g, cfg_b, pos, forces = _setup(1200, 24.0, tilt=tilt, seed=2)
+    ug, _ = integrator.mobility(cfg_g, pos, forces, tilt_xy=tilt)
+    ub, ob = integrator.mobility(cfg_b, pos, forces, tilt_xy=tilt)
+    assert not bool(ob)
+    assert _rel(ub, ug) < 1e-3
+
+
+def test_banded_seam_band_wrap():
+    """Density step across the periodic z seam: many wrapped bands with
+    unequal rank offsets between neighboring columns."""
+    rng = np.random.default_rng(5)
+    n, L = 2400, 24.0
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    # 2/3 of particles in the top half: the z-rank <-> z map differs
+    # strongly between columns AND bands cross the +/-L/2 seam
+    top = rng.random(n) < 0.55
+    pos[:, 2] = np.where(top, np.abs(pos[:, 2]) / 2.0 + L / 4.0,
+                         pos[:, 2] / 2.0).astype(np.float32)
+    pos[:, 2] -= (pos[:, 2] >= L / 2) * L
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked",
+                                   block_dtype="float32")
+    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded",
+                                   block_dtype="float32")
+    assert cfg_b.engine == "banded"
+    ud, od = integrator.mobility(cfg_d, pos, forces)
+    ub, ob = integrator.mobility(cfg_b, pos, forces)
+    assert not bool(ob) and not bool(od)
+    assert _rel(ub, ud) < 2e-5
+
+
+def test_banded_band_overflow_flags():
+    """All particles in one thin z slab: every band exceeds the window."""
+    rng = np.random.default_rng(6)
+    n, L = 4000, 24.0
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    pos[:, 2] = (pos[:, 2] * 0.02).astype(np.float32)      # z in ~[-0.24, 0.24]
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded")
+    assert cfg_b.engine == "banded"
+    _, overflow = integrator.mobility(cfg_b, pos, forces)
+    assert bool(overflow)
+
+
+def test_banded_step_deterministic_and_thermal():
+    cfg_g, cfg_b, pos, forces = _setup(1080, 24.0, seed=3, thermal=True)
+    state = integrator.make_state(pos)
+    s1, info1 = integrator.step(cfg_b, state, jnp.asarray(forces),
+                                1.0, 1e-3, 0.1, new_tilt=0.01)
+    s2, _ = integrator.step(cfg_b, state, jnp.asarray(forces),
+                            1.0, 1e-3, 0.1, new_tilt=0.01)
+    assert bool(jnp.all(s1.pos == s2.pos))
+    assert not bool(s1.nbr_overflow)
+    assert bool(jnp.all(jnp.isfinite(s1.pos)))
+    assert int(s1.m_lanczos) >= 2
+
+
+def test_banded_brownian_covariance():
+    """<u u^T> -> (2T/dt) M for the banded engine's full Brownian split.
+
+    Direct covariance evidence for the banded thermal path (the analog of
+    the blocked-engine test VERDICT round 1 asked for)."""
+    rng = np.random.default_rng(7)
+    n, L = 1080, 24.0
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg = integrator.make_config(params, n, thermal=True, seed=11,
+                                 engine="banded")
+    assert cfg.engine == "banded"
+    T, dt = 1.0, 1.0
+    n_samples = 24
+    # variance of the projected displacement along random fixed vectors
+    # equals (2T/dt) v^T M v; estimate with a handful of probes
+    probes = rng.normal(size=(3, n, 3)).astype(np.float32)
+    probes /= np.linalg.norm(probes, axis=(1, 2), keepdims=True)
+    acc = np.zeros(3)
+    for s in range(n_samples):
+        u, m_used, ov = integrator.brownian_displacement(
+            cfg, pos, 0.0, s, 8, T, dt
+        )
+        assert not bool(ov)
+        u = np.asarray(u)
+        acc += np.einsum("pij,ij->p", probes, u) ** 2
+    var = acc / n_samples
+
+    expect = np.zeros(3)
+    for pidx in range(3):
+        mv, _ = integrator.mobility(cfg, pos, probes[pidx])
+        expect[pidx] = 2.0 * T / dt * float(np.einsum("ij,ij->", probes[pidx], mv))
+    # MC error ~ sqrt(2/n_samples) ~ 29%
+    assert np.all(np.abs(var - expect) < 0.75 * np.abs(expect))
