@@ -47,7 +47,7 @@ def make_positions(n, phi, seed=0):
 
 
 def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
-              n_steps=30, chunk=10, seed=0):
+              n_steps=30, chunk=10, seed=0, engine="banded"):
     import jax
     import jax.numpy as jnp
     import pse_tpu as pse
@@ -59,7 +59,7 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
     pos, L = make_positions(n, phi, seed)
     params = pse.make_params(xi=xi, error=1e-3, L=L)
     config = integrator.make_config(
-        params, n, thermal=True, seed=1, engine="blocked",
+        params, n, thermal=True, seed=1, engine=engine,
         has_forces=has_forces,
     )
     state = integrator.make_state(pos)

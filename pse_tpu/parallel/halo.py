@@ -1,0 +1,244 @@
+"""Explicit x-slab decomposition of the banded near-field (shard_map + halo).
+
+GSPMD auto-sharding (parallel/sharding.py) runs the whole step but inserts
+all-gathers around the cell-layout rolls; this module shards the COLUMN GRID
+of the banded engine (ops/banded_nearfield.py) into contiguous x-slabs, one
+per device, and exchanges exactly one column layer per side per matvec with
+``jax.lax.ppermute`` over ICI — the TPU-native analog of an MPI halo
+exchange, and the piece that makes BASELINE config 5 (N=1M) fit: the banded
+blocks (the dominant buffer, ~14 GB at N=1M) are built and held shard-local,
+never materialized globally.
+
+Decomposition:
+  * columns (C = ncx*ncy, x-major) split along x into D slabs;
+  * each device builds blocks/windows for its slab PLUS one halo layer per
+    side (halo rows are throwaway duplicates — they cost 2/ncx_local extra
+    build work and keep every kernel call purely local);
+  * per matvec, only the slab-boundary force columns move over ICI
+    (2 * ncy * cap * 3 floats per device);
+  * far field (blocked NUFFT + FFT) and binning stay GSPMD-global;
+  * Lanczos runs on the global sharded vectors — XLA turns its dot products
+    into psums.
+
+The reference has no counterpart (single GPU only, Stokes.cc:104-109).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import integrator
+from ..box import Box
+from ..cellbins import CellBins, bin_columns, bin_particles
+from ..ops import banded_nearfield as bdn
+from ..ops import blocked_farfield as bff
+from .sharding import particle_sharding, replicated
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+class _HaloCtx(NamedTuple):
+    nf_bins: object        # global z-sorted column bins
+    ff_bins: object
+    j0e: jax.Array         # (O, D*(nxl+2)*ncy, T) windows, slab-extended
+    nve: jax.Array         # (D*(nxl+2)*ncy,) valid counts, slab-extended
+    blocks_e: jax.Array    # (O, D*(nxl+2)*ncy, 6, S, W) slab-extended blocks
+    ff_weights: object
+
+
+def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
+    """An integrator engine whose near-field runs shard_map'd over x-slabs.
+
+    Requires config.engine == "banded" with ncx divisible by the mesh size
+    (make_config(..., shard_slabs=D) rounds the column grid accordingly).
+    """
+    if config.engine != "banded":
+        raise ValueError("halo engine requires the banded near-field")
+    # The far field stays GSPMD-global: Pallas kernels don't auto-partition
+    # under GSPMD, so the halo config keeps the einsum (stored-W) far field
+    # — only the near field runs shard_map'd Pallas (per-shard arrays).
+    import dataclasses
+
+    if config.ff_spec.fused:
+        config = dataclasses.replace(
+            config,
+            ff_spec=config.ff_spec._replace(fused=False, store_weights=True),
+        )
+    bs = config.band_spec
+    p = config.params
+    ncx, ncy, _ = bs.bins.n_cells
+    D = mesh.shape[axis]
+    if ncx % D != 0:
+        raise ValueError(
+            f"ncx={ncx} not divisible by mesh size {D}; build the config "
+            f"with make_config(..., shard_slabs={D})"
+        )
+    nxl = ncx // D
+    S = bs.bins.cap
+    spec_loc = bs._replace(bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)))
+    C_loc = (nxl + 2) * ncy
+    interpret = integrator._pallas_interpret()
+    perm_fwd = [(i, (i + 1) % D) for i in range(D)]
+    perm_bwd = [(i, (i - 1) % D) for i in range(D)]
+
+    def exchange_x(arr):
+        """(..., nxl*ncy, S) local -> (..., (nxl+2)*ncy, S) with halos."""
+        a = arr.reshape(arr.shape[:-2] + (nxl, ncy, S))
+        left = jax.lax.ppermute(a[..., -1:, :, :], axis, perm_fwd)
+        right = jax.lax.ppermute(a[..., :1, :, :], axis, perm_bwd)
+        ext = jnp.concatenate([left, a, right], axis=-3)
+        return ext.reshape(arr.shape[:-2] + (C_loc, S))
+
+    col_spec = P(None, axis, None)
+
+    # ---- shard-local prepare: windows + blocks on the extended slab -------
+    def _local_prepare(px, py, pz, mask, tilt):
+        ext = lambda v: exchange_x(v)
+        bins_loc = CellBins(
+            px=ext(px), py=ext(py), pz=ext(pz), mask=ext(mask),
+            pid=None, cell_of=None, rank_of=None, overflow=None,
+        )
+        box = Box(jnp.asarray(p.L, jnp.float32), tilt)
+        # Interior columns are local x in [1, nxl]; halo rows get windows and
+        # blocks too (their rolls wrap wrongly at slab edges) but their
+        # outputs are discarded, so gate the overflow check on the interior.
+        cx = jnp.arange(C_loc, dtype=jnp.int32) // ncy
+        col_ok = (cx >= 1) & (cx <= nxl)
+        j0, nv, ovf = bdn.compute_windows(
+            bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok
+        )
+        blocks = bdn.build_banded_blocks(
+            bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
+            p.ewald_dr, j0, nv, interpret=interpret,
+        )
+        return blocks, j0, nv, ovf.reshape(1)
+
+    local_prepare = _shard_map(
+        _local_prepare, mesh,
+        in_specs=(P(axis, None),) * 4 + (P(),),
+        out_specs=(col_spec, col_spec, P(axis), P(axis)),
+    )
+
+    # ---- shard-local matvec: halo-exchange f, kernel, slice interior ------
+    def _local_matvec(blocks_l, j0_l, nv_l, f_l):
+        f_ext = exchange_x(f_l)
+        u = bdn.matvec_banded(
+            blocks_l, j0_l, nv_l, spec_loc, f_ext, p.self_mobility,
+            interpret=interpret,
+        )
+        u = u.reshape(3, nxl + 2, ncy, S)[:, 1:-1]
+        return u.reshape(3, nxl * ncy, S)
+
+    local_matvec = _shard_map(
+        _local_matvec, mesh,
+        in_specs=(col_spec, col_spec, P(axis), col_spec),
+        out_specs=col_spec,
+    )
+
+    base = integrator._engine(config)
+
+    def prepare(config_, pos, box):
+        nf_bins = bin_columns(pos, box, bs.bins)
+        ff_bins = bin_particles(pos, box, config.ff_spec.bins)
+        blocks_e, j0e, nve, ovf = _local_prepare_call(nf_bins, box.tilt_xy)
+        ff_weights = (
+            bff.build_weights(ff_bins, box, config.ff_spec, p)
+            if config.ff_spec.store_weights
+            else None
+        )
+        overflow = nf_bins.overflow | ff_bins.overflow | jnp.any(ovf)
+        return (
+            _HaloCtx(nf_bins, ff_bins, j0e, nve, blocks_e, ff_weights),
+            overflow,
+        )
+
+    def _local_prepare_call(nf_bins, tilt):
+        return local_prepare(
+            nf_bins.px, nf_bins.py, nf_bins.pz, nf_bins.mask,
+            jnp.asarray(tilt, jnp.float32),
+        )
+
+    def mreal_t(ctx, ft):
+        cells = ft.reshape(3, ncx * ncy, S)
+        return local_matvec(ctx.blocks_e, ctx.j0e, ctx.nve, cells).reshape(3, -1)
+
+    def mreal_particles(ctx, forces):
+        from ..cellbins import vec_from_cells, vec_to_cells
+
+        cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
+        u = local_matvec(ctx.blocks_e, ctx.j0e, ctx.nve, cells)
+        return vec_from_cells(ctx.nf_bins, bs.bins, u)
+
+    class E:
+        pass
+
+    e = E()
+    e.prepare = prepare
+    e.mreal_t = mreal_t
+    e.mreal_particles = mreal_particles
+    e.spread = base.spread
+    e.contract = base.contract
+    e.slots_of_psi = base.slots_of_psi
+    e.psi_result_to_particles = base.psi_result_to_particles
+    return e
+
+
+def make_halo_step(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
+    """Jit the full PSE step with the halo near-field engine.
+
+    Same call surface as parallel.sharding.make_sharded_step."""
+    eng = make_halo_engine(config, mesh, axis)
+    ps = particle_sharding(mesh, axis)
+    rs = replicated(mesh)
+    state_shardings = integrator.State(
+        pos=ps, images=ps, step=rs, tilt_xy=rs, m_lanczos=rs, nbr_overflow=rs
+    )
+
+    @partial(
+        jax.jit,
+        in_shardings=(state_shardings, ps, rs, rs, rs, rs),
+        out_shardings=(state_shardings, None),
+    )
+    def halo_step(state, forces, T, dt, shear_rate, new_tilt):
+        return integrator.step_impl(
+            config, eng, state, forces, T, dt, shear_rate, new_tilt
+        )
+
+    def run(state, forces, T, dt, shear_rate, new_tilt=None):
+        tilt = state.tilt_xy if new_tilt is None else jnp.float32(new_tilt)
+        return halo_step(
+            state, forces, jnp.float32(T), jnp.float32(dt),
+            jnp.float32(shear_rate), tilt,
+        )
+
+    return run
+
+
+def make_halo_mobility(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
+    """Jit U = M·F with the halo near-field engine."""
+    eng = make_halo_engine(config, mesh, axis)
+    ps = particle_sharding(mesh, axis)
+    rs = replicated(mesh)
+
+    @partial(jax.jit, in_shardings=(ps, ps, rs), out_shardings=(ps, None))
+    def halo_mobility(pos, forces, tilt_xy):
+        return integrator.mobility_impl(config, eng, pos, forces, tilt_xy)
+
+    def run(pos, forces, tilt_xy=0.0):
+        return halo_mobility(pos, forces, jnp.float32(tilt_xy))
+
+    return run
