@@ -74,19 +74,32 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
     dt = jnp.float32(1e-3)
     rate = jnp.float32(0.0)
 
-    @jax.jit
-    def run_chunk(state):
-        def body(s, _):
-            new_s, _info = integrator.step(config, s, forces, T, dt, rate)
-            return new_s, None
-        final, _ = jax.lax.scan(body, state, None, length=chunk)
-        return final
+    def make_chunk(cfg):
+        @jax.jit
+        def run_chunk(state):
+            def body(s, _):
+                new_s, _info = integrator.step(cfg, s, forces, T, dt, rate)
+                return new_s, None
+            final, _ = jax.lax.scan(body, state, None, length=chunk)
+            return final
+        return run_chunk
 
-    for _ in range(n_warm):
-        state = run_chunk(state)
-    np.asarray(state.pos)   # materialize (block_until_ready lies, CLAUDE.md)
-    if bool(state.nbr_overflow):
-        raise RuntimeError("capacity overflow in bench config; enlarge spec")
+    run_chunk = make_chunk(config)
+    for grow in range(3):
+        for _ in range(n_warm):
+            state = run_chunk(state)
+        np.asarray(state.pos)  # materialize (block_until_ready lies, CLAUDE.md)
+        if not bool(state.nbr_overflow):
+            break
+        # lattice commensuration can exceed the Poisson capacity slack at
+        # some xi; grow like Simulation.run (fresh compile per retry)
+        config = integrator.grow_config(config)
+        state = integrator.make_state(pos)
+        run_chunk = make_chunk(config)
+        print(f"# capacity overflow at xi={xi}: grew spec, retrying",
+              file=sys.stderr)
+    else:
+        raise RuntimeError("capacity overflow persists after growth")
 
     n_chunks = max(1, n_steps // chunk)
     t0 = time.perf_counter()
@@ -123,7 +136,7 @@ def main():
               f"{r['particle_steps_per_sec']:.3g} particle-steps/s "
               f"(m={r['m_lanczos']})", file=sys.stderr)
     if args.sweep:
-        for xi in (0.4, 0.65):
+        for xi in (0.65, 0.8):
             r = run_bench(xi=xi)
             results.append(r)
             print(f"# {r['workload']:12s} xi={r['xi']}: "

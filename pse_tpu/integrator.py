@@ -270,8 +270,9 @@ class _BandedCtx(NamedTuple):
     ff_bins: object
     j0: jax.Array          # (O, C, T) i32 band window starts
     n_valid: jax.Array     # (C,) i32 occupied slots per column
-    blocks: jax.Array      # (O, C, 6, S, W) banded pair blocks
+    blocks: object         # (O, C, 6, S, W) banded pair blocks (None off-TPU)
     ff_weights: object
+    tilt: jax.Array        # () f32 box tilt (reference matvec rebuilds pairs)
 
 
 def _pallas_interpret() -> bool:
@@ -314,17 +315,26 @@ def _prepare_banded(config, pos, box):
     j0, n_valid, band_overflow = bdn.compute_windows(
         nf_bins, bs, box, p.ewald_cut
     )
-    blocks = bdn.build_banded_blocks(
-        nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut, p.ewald_dr,
-        j0, n_valid, interpret=_pallas_interpret(),
-    )
+    # Off-TPU the matvec runs the pure-XLA reference (gathers are fast on
+    # CPU; interpret-mode Pallas costs minutes of compile per config), so
+    # the pair blocks are only built for real Mosaic execution.
+    blocks = None
+    if not _pallas_interpret():
+        blocks = bdn.build_banded_blocks(
+            nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut,
+            p.ewald_dr, j0, n_valid,
+        )
     ff_weights = (
         bff.build_weights(ff_bins, box, config.ff_spec, p)
         if config.ff_spec.store_weights
         else None
     )
     overflow = nf_bins.overflow | ff_bins.overflow | band_overflow
-    return _BandedCtx(nf_bins, ff_bins, j0, n_valid, blocks, ff_weights), overflow
+    return (
+        _BandedCtx(nf_bins, ff_bins, j0, n_valid, blocks, ff_weights,
+                   jnp.asarray(box.tilt_xy, jnp.float32)),
+        overflow,
+    )
 
 
 def _nf_cells_of(config, ctx, values):
@@ -364,21 +374,25 @@ def _engine(config: StepConfig):
         bs = config.band_spec
         ff_spec = config.ff_spec
 
+        def _nf_matvec(ctx, cells):
+            if _pallas_interpret():
+                return bdn.matvec_banded_reference(
+                    ctx.nf_bins, ctx.tilt, bs, config.cheb, p.L,
+                    p.ewald_cut, p.ewald_dr, ctx.j0, ctx.n_valid, cells,
+                    p.self_mobility,
+                )
+            return bdn.matvec_banded(
+                ctx.blocks, ctx.j0, ctx.n_valid, bs, cells, p.self_mobility
+            )
+
         def mreal_t(ctx, ft):
             C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
             cells = ft.reshape(3, C, bs.bins.cap)
-            return bdn.matvec_banded(
-                ctx.blocks, ctx.j0, ctx.n_valid, bs, cells, p.self_mobility,
-                interpret=_pallas_interpret(),
-            ).reshape(3, -1)
+            return _nf_matvec(ctx, cells).reshape(3, -1)
 
         def mreal_particles(ctx, forces):
             cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
-            u = bdn.matvec_banded(
-                ctx.blocks, ctx.j0, ctx.n_valid, bs, cells, p.self_mobility,
-                interpret=_pallas_interpret(),
-            )
-            return vec_from_cells(ctx.nf_bins, bs.bins, u)
+            return vec_from_cells(ctx.nf_bins, bs.bins, _nf_matvec(ctx, cells))
 
         def spread(ctx, box, forces):
             f_cells = vec_to_cells(ctx.ff_bins, ff_spec.bins, forces)

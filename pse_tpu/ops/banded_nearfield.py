@@ -263,6 +263,107 @@ def _stacked_window_read(ref, col, j0, nv, S, W):
     return jnp.where(use_main, rot_read(j0), rot_read(S + j0 - nv))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "cheb", "L", "ewald_cut", "ewald_dr",
+                     "self_mobility"),
+)
+def matvec_banded_reference(
+    bins: CellBins,
+    tilt_xy,
+    spec: BandSpec,
+    cheb: ChebPair,
+    L: tuple,
+    ewald_cut: float,
+    ewald_dr: float,
+    j0: jax.Array,             # (O, C, T) int32 from compute_windows
+    n_valid: jax.Array,        # (C,) int32
+    f_cells: jax.Array,        # (3, C, S) — padded slots zero
+    self_mobility,
+) -> jax.Array:
+    """Pure-XLA banded matvec: same cyclic-window math as the Pallas
+    kernels, windows materialized with gathers.
+
+    Gathers are fast on CPU, so this is the engine's off-TPU execution path
+    (interpret-mode Pallas costs minutes of compile per configuration) AND
+    the independent oracle the kernels are checked against in the suite.
+    Rebuilds pair functions per call — fine at test/CPU scale.
+    """
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    S = spec.bins.cap
+    R = spec.rows
+    W = spec.window
+    T = S // R
+    O = len(spec.offsets)
+    tilt = jnp.asarray(tilt_xy, jnp.float32)
+
+    posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
+    posm_ext = extend_slots(posm, spec)                    # (4, C, S_ext)
+    f_ext = extend_slots(f_cells.astype(jnp.float32), spec)
+
+    import numpy as np
+
+    cols = np.arange(C).reshape(ncx, ncy)
+    nbr_cols = np.stack([
+        np.roll(cols, (-ox, -oy), axis=(0, 1)).reshape(-1)
+        for (ox, oy) in spec.offsets
+    ])                                                     # (O, C) int
+    nbr_cols = jnp.asarray(nbr_cols, jnp.int32)
+
+    nv_nbr = n_valid[nbr_cols]                             # (O, C)
+    own = posm.reshape(4, C, T, R)                         # (comp, C, T, R)
+    islot = (
+        jnp.arange(T, dtype=jnp.int32)[:, None] * R
+        + jnp.arange(R, dtype=jnp.int32)
+    )                                                      # (T, R)
+    SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+
+    def tile(k):
+        return own[k][:, :, :, None]                       # (C, T, R, 1)
+
+    # One offset at a time: the full (O, C, T, R, W) intermediate set is
+    # ~10x the per-offset working set and blows host RAM at large N.
+    u = jnp.zeros((3, C, S), jnp.float32)
+    for oi in range(O):
+        nvo = nv_nbr[oi][:, None, None]                    # (C, 1, 1)
+        jw = j0[oi][..., None] + jnp.arange(W, dtype=jnp.int32)  # (C, T, W)
+        use_main = jw < nvo
+        idx = jnp.where(use_main, jw, S + jw - nvo)
+        lane_ok = jnp.arange(W, dtype=jnp.int32) < nvo
+        jslot = jnp.where(use_main, jw, jw - nvo)
+
+        col_idx = nbr_cols[oi][:, None, None]              # (C, 1, 1)
+        win = posm_ext[:, col_idx, idx]                    # (4, C, T, W)
+        fw = f_ext[:, col_idx, idx]                        # (3, C, T, W)
+        mj = jnp.where(lane_ok, win[3], 0.0)
+        same = (oi == 0) & (
+            jslot[:, :, None, :] == islot[None, :, :, None]
+        )                                                  # (C, T, R, W)
+
+        comps = _pair_components(
+            tile(0), tile(1), tile(2), tile(3),
+            win[0][:, :, None, :], win[1][:, :, None, :],
+            win[2][:, :, None, :], mj[:, :, None, :],
+            tilt,
+            L=tuple(float(x) for x in L), cheb=cheb,
+            cut2=float(ewald_cut) ** 2, dr2=float(ewald_dr) ** 2,
+            same_slot=same,
+        )                                                  # 6 x (C, T, R, W)
+
+        fw_b = fw[:, :, :, None, :]                        # (3, C, T, 1, W)
+        uo = []
+        for r in range(3):
+            acc = (
+                comps[SYM[r][0]] * fw_b[0]
+                + comps[SYM[r][1]] * fw_b[1]
+                + comps[SYM[r][2]] * fw_b[2]
+            )
+            uo.append(jnp.sum(acc, axis=3).reshape(C, S))  # sum lanes
+        u = u + jnp.stack(uo, axis=0)
+    return u + self_mobility * f_cells.astype(jnp.float32)
+
+
 def _build_kernel(
     offs_ref, nv_ref, tilt_ref, j0_ref, posm_ref, posm_t_ref, a_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2,
@@ -300,7 +401,7 @@ def _build_kernel(
 
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     for t in range(T):
-        j0 = j0_ref[o_i, c, t]
+        j0 = j0_ref[o_i, c * T + t]
         sl = slice(t * R, (t + 1) * R)
         win = _stacked_window_read(posm_ref, nbr, j0, nv, S, W)   # (4, W)
         xj, yj, zj, mj = (win[k:k + 1] for k in range(4))
@@ -352,6 +453,7 @@ def build_banded_blocks(
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
+    j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
     kernel = partial(
         _build_kernel,
         spec=spec,
@@ -379,7 +481,7 @@ def build_banded_blocks(
             (O, C, 6, S, W), jnp.dtype(spec.block_dtype)
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0, posm_ext, posm_t)
+    )(offsets_arr, n_valid, tilt, j0_flat, posm_ext, posm_t)
 
 
 def _matvec_kernel(
@@ -421,13 +523,8 @@ def _matvec_kernel(
         jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
     )
 
-    # Symmetric-component row blocks of the stacked (6R, W) @ (W, 3) dot:
-    # res rows [k*R:(k+1)*R] hold A_k · f_c for every (component k, force
-    # column c) pair; u_x = xx·fx + xy·fy + xz·fz picks (row 0, col 0),
-    # (row 1, col 1), (row 2, col 2), etc.
-    SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
     for t in range(T):
-        j0 = j0_ref[o_i, c, t]
+        j0 = j0_ref[o_i, c * T + t]
         # A folds the lane-validity mask in at build time, so the window
         # reads here don't need lane_ok (junk lanes multiply zeros).
         fw = _stacked_window_read(f_ref, nbr, j0, nv, S, W)    # (3, W)
@@ -442,22 +539,26 @@ def _matvec_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         )                                                      # (6R, 3)
-        for r in range(3):
-            acc_ref[r, sl, :] += (
-                res[SYM[r][0] * R:(SYM[r][0] + 1) * R, 0:1]
-                + res[SYM[r][1] * R:(SYM[r][1] + 1) * R, 1:2]
-                + res[SYM[r][2] * R:(SYM[r][2] + 1) * R, 2:3]
-            )                                                  # (R, 1)
+        # all (component k, force column c) pairs accumulate raw; the
+        # symmetric combine happens once per column at flush (doing it per
+        # tile costs 15 single-vreg ops x T tiles of pure op overhead)
+        acc_ref[:, sl, :] += res.reshape(6, R, 3)
 
     @pl.when(o_i == n_offsets - 1)
     def _flush():
-        # Lane stores must be 128-aligned: rotate the (S, 1) column result
-        # to lane c - a of a zero stripe, then one aligned RMW per comp.
+        # u_x = xx·fx + xy·fy + xz·fz etc: pick (component, force) pairs
+        # from the raw accumulator, then one aligned 128-lane RMW per comp
+        # (lane stores must be 128-aligned: rotate the (S, 1) column result
+        # to lane c - a of a zero stripe first).
+        SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
         a = pl.multiple_of(c // 128 * 128, 128)
         for r in range(3):
-            placed = pltpu.roll(
-                jnp.pad(acc_ref[r], ((0, 0), (0, 127))), c - a, 1
-            )
+            col = (
+                acc_ref[SYM[r][0], :, 0:1]
+                + acc_ref[SYM[r][1], :, 1:2]
+                + acc_ref[SYM[r][2], :, 2:3]
+            )                                                  # (S, 1)
+            placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
             u_ref[r, :, pl.ds(a, 128)] += placed
 
 
@@ -482,6 +583,7 @@ def matvec_banded(
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     c_pad = -(-C // 128) * 128                # aligned lane stores
 
+    j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
     kernel = partial(_matvec_kernel, spec=spec, n_offsets=O)
     u_t = pl.pallas_call(
         kernel,
@@ -498,10 +600,10 @@ def matvec_banded(
             (3, S, c_pad), lambda c, o: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3, S, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((6, S, 3), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, j0, blocks, f_ext)
+    )(offsets_arr, n_valid, j0_flat, blocks, f_ext)
     return u_t[:, :, :C].transpose(0, 2, 1) + self_mobility * f_cells

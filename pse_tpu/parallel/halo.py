@@ -58,6 +58,7 @@ class _HaloCtx(NamedTuple):
     nve: jax.Array         # (D*(nxl+2)*ncy,) valid counts, slab-extended
     blocks_e: jax.Array    # (O, D*(nxl+2)*ncy, 6, S, W) slab-extended blocks
     ff_weights: object
+    tilt: jax.Array        # () f32 (the off-TPU reference rebuilds pairs)
 
 
 def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
@@ -105,7 +106,10 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
 
     col_spec = P(None, axis, None)
 
-    # ---- shard-local prepare: windows + blocks on the extended slab -------
+    # ---- shard-local prepare: windows (+ blocks on TPU) on the ext slab ---
+    # Off-TPU the matvec runs the pure-XLA reference (see
+    # banded_nearfield.matvec_banded_reference), which rebuilds the pair
+    # functions from the exchanged slab positions — no stored blocks.
     def _local_prepare(px, py, pz, mask, tilt):
         ext = lambda v: exchange_x(v)
         bins_loc = CellBins(
@@ -121,31 +125,46 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         j0, nv, ovf = bdn.compute_windows(
             bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok
         )
-        blocks = bdn.build_banded_blocks(
-            bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
-            p.ewald_dr, j0, nv, interpret=interpret,
-        )
+        if interpret:
+            blocks = jnp.zeros((1,), jnp.float32)   # unused placeholder
+        else:
+            blocks = bdn.build_banded_blocks(
+                bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
+                p.ewald_dr, j0, nv,
+            )
         return blocks, j0, nv, ovf.reshape(1)
 
+    blocks_spec = col_spec if not interpret else P(axis)
     local_prepare = _shard_map(
         _local_prepare, mesh,
         in_specs=(P(axis, None),) * 4 + (P(),),
-        out_specs=(col_spec, col_spec, P(axis), P(axis)),
+        out_specs=(blocks_spec, col_spec, P(axis), P(axis)),
     )
 
     # ---- shard-local matvec: halo-exchange f, kernel, slice interior ------
-    def _local_matvec(blocks_l, j0_l, nv_l, f_l):
+    def _local_matvec(blocks_l, j0_l, nv_l, f_l, px, py, pz, mask, tilt):
         f_ext = exchange_x(f_l)
-        u = bdn.matvec_banded(
-            blocks_l, j0_l, nv_l, spec_loc, f_ext, p.self_mobility,
-            interpret=interpret,
-        )
+        if interpret:
+            bins_loc = CellBins(
+                px=exchange_x(px), py=exchange_x(py), pz=exchange_x(pz),
+                mask=exchange_x(mask),
+                pid=None, cell_of=None, rank_of=None, overflow=None,
+            )
+            u = bdn.matvec_banded_reference(
+                bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
+                p.ewald_dr, j0_l, nv_l, f_ext, p.self_mobility,
+            )
+        else:
+            u = bdn.matvec_banded(
+                blocks_l, j0_l, nv_l, spec_loc, f_ext, p.self_mobility
+            )
         u = u.reshape(3, nxl + 2, ncy, S)[:, 1:-1]
         return u.reshape(3, nxl * ncy, S)
 
     local_matvec = _shard_map(
         _local_matvec, mesh,
-        in_specs=(col_spec, col_spec, P(axis), col_spec),
+        in_specs=(blocks_spec, col_spec, P(axis), col_spec)
+        + (P(axis, None),) * 4 + (P(),),
         out_specs=col_spec,
     )
 
@@ -162,7 +181,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         )
         overflow = nf_bins.overflow | ff_bins.overflow | jnp.any(ovf)
         return (
-            _HaloCtx(nf_bins, ff_bins, j0e, nve, blocks_e, ff_weights),
+            _HaloCtx(nf_bins, ff_bins, j0e, nve, blocks_e, ff_weights,
+                     jnp.asarray(box.tilt_xy, jnp.float32)),
             overflow,
         )
 
@@ -172,15 +192,22 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             jnp.asarray(tilt, jnp.float32),
         )
 
+    def _matvec(ctx, cells):
+        b = ctx.nf_bins
+        return local_matvec(
+            ctx.blocks_e, ctx.j0e, ctx.nve, cells,
+            b.px, b.py, b.pz, b.mask, ctx.tilt,
+        )
+
     def mreal_t(ctx, ft):
         cells = ft.reshape(3, ncx * ncy, S)
-        return local_matvec(ctx.blocks_e, ctx.j0e, ctx.nve, cells).reshape(3, -1)
+        return _matvec(ctx, cells).reshape(3, -1)
 
     def mreal_particles(ctx, forces):
         from ..cellbins import vec_from_cells, vec_to_cells
 
         cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
-        u = local_matvec(ctx.blocks_e, ctx.j0e, ctx.nve, cells)
+        u = _matvec(ctx, cells)
         return vec_from_cells(ctx.nf_bins, bs.bins, u)
 
     class E:

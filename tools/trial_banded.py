@@ -18,6 +18,7 @@ def main():
     ap.add_argument("--skip-correctness", action="store_true")
     ap.add_argument("--skip-timing", action="store_true")
     ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--xi", type=float, default=0.5)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--engine", default="banded")
     ap.add_argument("--forces", action="store_true")
@@ -82,7 +83,7 @@ def main():
         pos = pos[np.sort(keep)] + rng.normal(scale=0.05 * a, size=(n, 3))
         pos = pos.astype(np.float32)
 
-        params = pse.make_params(xi=0.5, error=1e-3, L=L)
+        params = pse.make_params(xi=args.xi, error=1e-3, L=L)
         config = integrator.make_config(
             params, n, thermal=True, seed=1, engine=args.engine,
             has_forces=args.forces,
