@@ -99,7 +99,10 @@ def make_band_spec(
         return None
 
     mu = n_particles / (ncx * ncy)            # mean column occupancy
-    cap = int(math.ceil((mu + 5.0 * math.sqrt(mu) + 8.0) / rows)) * rows
+    # 4-sigma Poisson slack: A traffic scales with cap, and overflow is
+    # recoverable (sticky flag -> regrow), so the tail can be tighter than
+    # the unrecoverable-era 5 sigma.
+    cap = int(math.ceil((mu + 4.0 * math.sqrt(mu) + 8.0) / rows)) * rows
 
     # Expected band: ranks within 2*rcut of z, plus the tile extent, plus
     # slack for occupancy fluctuations between neighboring columns.

@@ -43,6 +43,8 @@ class FfSpec(NamedTuple):
     store_weights: bool = True   # build W once per step, share spread/contract
     full_precision: bool = False  # f32 MXU passes for the W contractions
     fused: bool = False          # Pallas fused spread/contract (no stored W)
+    weight_dtype: str = "float32"  # stored-W dtype (bf16 on TPU when the
+                                   # default-precision MXU rounds there anyway)
 
 
 def _axis_divisors(n_grid: int, p: int):
@@ -88,9 +90,21 @@ def make_ff_spec(params: PSEParams, n_particles: int) -> FfSpec | None:
     # TPU default f32 contractions are bf16-grade (~1e-3 relative) — at or
     # under the method's default error target.  A stricter requested error
     # needs full-precision passes (~3x MXU time on the spread/contract).
+    # When the MXU rounds to bf16 anyway, store W in bf16 too: halves the
+    # dominant far-field HBM traffic at no additional precision loss.  On
+    # CPU (tests) matmuls are true f32, so W stays f32 there — the stored
+    # dtype matches the compute precision the backend actually uses.
+    full_precision = params.error < 1e-3
+    import jax
+
+    weight_dtype = (
+        "bfloat16"
+        if (not full_precision and jax.default_backend() == "tpu")
+        else "float32"
+    )
     return FfSpec(
         bins=BinSpec(n_cells=nc, cap=cap), s=s, offsets=full_offsets(1),
-        full_precision=params.error < 1e-3,
+        full_precision=full_precision, weight_dtype=weight_dtype,
     )
 
 
@@ -165,7 +179,9 @@ def _offset_weights(
     w_xy = w_xy.transpose(0, 3, 1, 2)                                    # (C,cap,sx,sy)
     w_z = w_z.transpose(0, 2, 1)                                         # (C,cap,sz)
     W = w_xy[:, :, :, :, None] * w_z[:, :, None, None, :]                # (C,cap,sx,sy,sz)
-    return W.reshape(W.shape[0], spec.bins.cap, sx * sy * sz)
+    return W.reshape(W.shape[0], spec.bins.cap, sx * sy * sz).astype(
+        jnp.dtype(spec.weight_dtype)
+    )
 
 
 def build_weights(
@@ -226,7 +242,7 @@ def spread_blocked(
             W = weights[oi]                                 # (C, cap, s³)
         fr = jnp.stack(
             [roll_cells(f_cells[c], spec.bins, o) for c in range(3)], axis=1
-        )                                                   # (C, 3, cap)
+        ).astype(W.dtype)                                   # (C, 3, cap)
         acc = acc + jnp.einsum(
             "bpn,bcp->bcn", W, fr, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST if spec.full_precision else None,
@@ -261,7 +277,8 @@ def contract_blocked(
         else:
             W = weights[oi]                                 # (C, cap, s³)
         contrib = jnp.einsum(
-            "bpn,bcn->bcp", W, v, preferred_element_type=jnp.float32,
+            "bpn,bcn->bcp", W, v.astype(W.dtype),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST if spec.full_precision else None,
         ).astype(u.dtype)
         u = u + roll_cells(contrib, spec.bins, (-o[0], -o[1], -o[2]))

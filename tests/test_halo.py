@@ -42,8 +42,9 @@ def _rel(a, b):
 
 
 def test_halo_mobility_matches_single_device():
-    # 4 slabs of >= rcut wide columns needs L_x >= 4*rcut*1.5
-    n, L = 4_200, 33.0
+    # 4 slabs of >= rcut wide columns needs L_x >= 4*rcut*1.5;
+    # occupancy high enough that cap (4-sigma slack) >= the band window
+    n, L = 4_800, 33.0
     cfg, pos, forces = _setup(n, L, seed=1, block_dtype="float32")
     mesh = _mesh()
     u1, ov1 = integrator.mobility(cfg, pos, forces)
@@ -54,7 +55,7 @@ def test_halo_mobility_matches_single_device():
 
 
 def test_halo_step_matches_single_device_thermal():
-    n, L = 4_200, 33.0
+    n, L = 4_800, 33.0
     cfg, pos, forces = _setup(n, L, seed=2, thermal=True)
     mesh = _mesh()
     state = integrator.make_state(pos)
