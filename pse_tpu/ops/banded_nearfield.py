@@ -441,7 +441,8 @@ def build_banded_blocks(
     n_valid: jax.Array,        # (C,) int32 from compute_windows
     interpret: bool = False,
 ) -> jax.Array:
-    """A (O, C, 6, S, W) banded pair blocks, built once per step."""
+    """A (O//3, C, 6, S, 3W) banded pair blocks (offsets grouped in threes
+    along the lane axis), built once per step."""
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -476,12 +477,16 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_ext (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_t (whole)
         ],
+        # Offsets grouped in threes along the lane axis: block (g, c) holds
+        # offsets 3g..3g+2 side by side, so the matvec contracts all three
+        # with ONE (6R, 3W) MXU dot per tile.  Pure index-map regrouping —
+        # each (offset, column) grid step still writes one (6, S, W) block.
         out_specs=pl.BlockSpec(
-            (1, 1, 6, S, W), lambda o, c: (o, c, 0, 0, 0),
+            (1, 1, 6, S, W), lambda o, c: (o // 3, c, 0, 0, o % 3),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (O, C, 6, S, W), jnp.dtype(spec.block_dtype)
+            (O // 3, C, 6, S, 3 * W), jnp.dtype(spec.block_dtype)
         ),
         interpret=interpret,
     )(offsets_arr, n_valid, tilt, j0_flat, posm_ext, posm_t)
@@ -489,17 +494,18 @@ def build_banded_blocks(
 
 def _matvec_kernel(
     offs_ref, nv_ref, j0_ref, a_ref, f_ref, u_ref, acc_ref, *,
-    spec: BandSpec, n_offsets: int,
+    spec: BandSpec, n_groups: int,
 ):
-    """Grid (column, offset): offsets are the inner axis so each column's
-    result accumulates in the VMEM scratch and hits the (3, S, C) transposed
-    output with ONE aligned 128-lane read-modify-write per column.  Rows
-    live on sublanes so per-tile reductions land without relayouts; the
-    caller transposes back and adds the self term.
+    """Grid (column, offset-group): the 9 stencil offsets stream as 3 groups
+    of 3 (inner axis), each column's result accumulating in the VMEM scratch
+    and hitting the (3, S, C) transposed output with ONE aligned 128-lane
+    read-modify-write per column.  Rows live on sublanes so per-tile
+    reductions land without relayouts; the caller transposes back and adds
+    the self term.
 
-    Per tile, the band product is 9 (R, W) FMAs; the lane reduction runs on
-    the MXU as a ones-vector contraction (a 7-step VPU shuffle reduce per
-    tile measured ~2x the FMA cost)."""
+    Per tile, all three offsets' band products run as ONE (6R, 3W) MXU dot
+    against the concatenated windows (no VPU converts/FMAs/shuffle reduces;
+    the lane contraction sums the offsets for free)."""
     ncx, ncy, _ = spec.bins.n_cells
     S = spec.bins.cap
     R = spec.rows
@@ -507,37 +513,43 @@ def _matvec_kernel(
     T = S // R
 
     c = pl.program_id(0)
-    o_i = pl.program_id(1)
+    g = pl.program_id(1)
 
-    @pl.when((o_i == 0) & (c == 0))
+    @pl.when((g == 0) & (c == 0))
     def _zero_out():
         u_ref[:] = jnp.zeros_like(u_ref)
 
-    @pl.when(o_i == 0)
+    @pl.when(g == 0)
     def _zero_acc():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    ox = offs_ref[o_i, 0]
-    oy = offs_ref[o_i, 1]
-    nbr = _neighbor_column(c, ox, oy, ncx, ncy)
-    nv = nv_ref[nbr]
+    nbrs = []
+    nvs = []
+    for k3 in range(3):
+        o_i = 3 * g + k3
+        ox = offs_ref[o_i, 0]
+        oy = offs_ref[o_i, 1]
+        nbr = _neighbor_column(c, ox, oy, ncx, ncy)
+        nbrs.append(nbr)
+        nvs.append(nv_ref[nbr])
     a_dtype = a_ref.dtype
     precision = (
         jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
     )
 
     for t in range(T):
-        j0 = j0_ref[o_i, c * T + t]
         # A folds the lane-validity mask in at build time, so the window
         # reads here don't need lane_ok (junk lanes multiply zeros).
-        fw = _stacked_window_read(f_ref, nbr, j0, nv, S, W)    # (3, W)
+        fw3 = jnp.concatenate([
+            _stacked_window_read(
+                f_ref, nbrs[k3], j0_ref[3 * g + k3, c * T + t], nvs[k3], S, W
+            )
+            for k3 in range(3)
+        ], axis=1)                                             # (3, 3W)
         sl = slice(t * R, (t + 1) * R)
-        a_stack = a_ref[0, 0, :, sl, :].reshape(6 * R, W)      # (6R, W)
-        # ONE MXU dot per tile (contract over lanes of both operands): no
-        # VPU bf16->f32 converts, FMAs, or shuffle reduces.  f is cast to
-        # the block dtype — for bf16 blocks that adds < the bf16 A error.
+        a_stack = a_ref[0, 0, :, sl, :].reshape(6 * R, 3 * W)  # (6R, 3W)
         res = jax.lax.dot_general(
-            a_stack, fw.astype(a_dtype),
+            a_stack, fw3.astype(a_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
@@ -547,7 +559,7 @@ def _matvec_kernel(
         # tile costs 15 single-vreg ops x T tiles of pure op overhead)
         acc_ref[:, sl, :] += res.reshape(6, R, 3)
 
-    @pl.when(o_i == n_offsets - 1)
+    @pl.when(g == n_groups - 1)
     def _flush():
         # u_x = xx·fx + xy·fy + xz·fz etc: pick (component, force) pairs
         # from the raw accumulator, then one aligned 128-lane RMW per comp
@@ -567,7 +579,7 @@ def _matvec_kernel(
 
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret"))
 def matvec_banded(
-    blocks: jax.Array,         # (O, C, 6, S, W) from build_banded_blocks
+    blocks: jax.Array,         # (O//3, C, 6, S, 3W) from build_banded_blocks
     j0: jax.Array,             # (O, C, T) int32
     n_valid: jax.Array,        # (C,) int32
     spec: BandSpec,
@@ -587,15 +599,15 @@ def matvec_banded(
     c_pad = -(-C // 128) * 128                # aligned lane stores
 
     j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
-    kernel = partial(_matvec_kernel, spec=spec, n_offsets=O)
+    kernel = partial(_matvec_kernel, spec=spec, n_groups=O // 3)
     u_t = pl.pallas_call(
         kernel,
-        grid=(C, O),                                      # offsets inner:
+        grid=(C, O // 3),                                 # offset groups inner:
         in_specs=[                                        # column acc stays
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec((1, 1, 6, S, W), lambda c, o: (o, c, 0, 0, 0),
+            pl.BlockSpec((1, 1, 6, S, 3 * W), lambda c, g: (g, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # f_ext (whole)
         ],
