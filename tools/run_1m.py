@@ -6,11 +6,16 @@ holds them shard-local (~2 GB per device on 8 devices), exchanging one
 column layer of forces per matvec over ICI.
 
 On real multi-chip hardware this script runs as-is; in this environment it
-demonstrates the decomposition on the 8-virtual-CPU-device mesh (Pallas in
-interpret mode — slow, so the default drives one deterministic mobility
-matvec, not a thermal step; pass --thermal for the full step).
+demonstrates the decomposition on the 8-virtual-CPU-device mesh, where the
+banded engine runs its pure-XLA reference path.  NOTE: all 8 virtual
+devices share one host's RAM, and the reference path's window gathers need
+~200 GB at N=1M — beyond this host's 125 GB (measured: killed at 115 GB).
+N=250k (~85 GB peak, ran green in ~36 min compile-dominated) is the
+practical single-host ceiling; the 1M banded-block memory math this script
+prints (the quantity that actually gates real 8-chip hardware,
+~2 GiB/device) holds regardless.
 
-Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/run_1m.py [--n 1000000]
+Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/run_1m.py --n 250000
 """
 
 import argparse
