@@ -32,5 +32,6 @@ sim.enable_shear_box(total_timesteps=nrun)
 sim.run(nrun)
 
 s = sim.snapshot()
+print(sim.metrics_summary())
 print(f"done: step={s['step']} tilt={s['tilt_xy']:.4f} m_lanczos={s['m_lanczos']}")
 print(f"mean |displacement| = {abs(s['pos'] - positions).mean():.4f}")

@@ -68,6 +68,22 @@ class PSEv1:
             raise ValueError(
                 "Invalid neighborlist method. Valid options are: cell, tree, stencil."
             )
+        if self.nlist_type.upper() != "CELL":
+            import warnings
+
+            # The reference's tree/stencil backends (integrate.py:60-74:
+            # NeighborListGPUTree / CellListStencil) are GPU space/time
+            # tradeoffs around irregular memory access; on TPU all pair
+            # finding runs through the dense column/cell binning (measured:
+            # random gathers serialize at ~0.11 G elem/s, so a tree walk
+            # cannot compete — see DESIGN.md).  Accepted for API parity,
+            # mapped to the cell backend.
+            warnings.warn(
+                f"nlist_type='{self.nlist_type}' has no TPU-native analogue; "
+                "using the cell-list backend (results identical, performance "
+                "characteristics differ from the reference's GPU backends)",
+                stacklevel=2,
+            )
 
     def temperature(self, timestep):
         if callable(self.T):
@@ -110,6 +126,9 @@ class Simulation:
             self.state = self.state._replace(images=jnp.asarray(images, jnp.int32))
         self._run_chunk_cache = {}
         self.step_timing = []
+        # Per-step observability (SURVEY.md §5: "step timing and Lanczos m"):
+        # m_lanczos histogram {m: count}, overflow regrow retries, total steps.
+        self.metrics = {"m_lanczos_hist": {}, "overflow_retries": 0, "steps": 0}
 
     # -- setup ------------------------------------------------------------
 
@@ -120,6 +139,15 @@ class Simulation:
         verbose: bool = True,
         engine: str = "blocked",
     ):
+        # zero='now' protocols resolve against the sim's current step (the
+        # reference resolves against the global HOOMD step counter).
+        if method.function_form is not None:
+            method = dataclasses.replace(
+                method,
+                function_form=shear_function.resolve_now(
+                    method.function_form, int(self.state.step)
+                ),
+            )
         self.method = method
         params = make_params(
             xi=method.xi, error=method.error, L=self.L, max_strain=method.max_strain
@@ -186,7 +214,11 @@ class Simulation:
                     "call set_integrator again to rebuild for a larger strain"
                 )
             self.method = dataclasses.replace(
-                self.method, function_form=function_form, max_strain=max_strain
+                self.method,
+                function_form=shear_function.resolve_now(
+                    function_form, int(self.state.step)
+                ),
+                max_strain=max_strain,
             )
         # chunk closures capture self.method — invalidate them on any change
         self._run_chunk_cache.clear()
@@ -239,11 +271,14 @@ class Simulation:
             shear_rate = method.shear_rate(t)
             new_tilt = variant.value(t + 1) if variant is not None else None
             if group is None:
-                new_state, _info = _step(
+                new_state, info = _step(
                     config, state, forces, method.temperature(t), dt,
                     shear_rate, new_tilt,
                 )
-                return new_state, None
+                return new_state, {
+                    "m_lanczos": info["m_lanczos"],
+                    "overflow": info["nbr_overflow"],
+                }
             # Group subset (Stokes.cc:85-111 semantics): the hydrodynamic
             # system consists of group members only; non-members are frozen
             # scenery (they can still exert forces via force_fn, which sees
@@ -256,7 +291,7 @@ class Simulation:
                 m_lanczos=state.m_lanczos,
                 nbr_overflow=state.nbr_overflow,
             )
-            new_sub, _info = _step(
+            new_sub, info = _step(
                 config, sub, forces[group], method.temperature(t), dt,
                 shear_rate, new_tilt,
             )
@@ -268,41 +303,77 @@ class Simulation:
                 m_lanczos=new_sub.m_lanczos,
                 nbr_overflow=new_sub.nbr_overflow,
             )
-            return new_state, None
+            return new_state, {
+                "m_lanczos": info["m_lanczos"],
+                "overflow": info["nbr_overflow"],
+            }
 
         @jax.jit
         def run_chunk(state: State):
-            final, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return final
+            final, ys = jax.lax.scan(body, state, None, length=n_steps)
+            return final, ys
 
         self._run_chunk_cache[key] = run_chunk
         return run_chunk
 
     # -- host loop --------------------------------------------------------
 
-    def run(self, n_steps: int, callback: Optional[Callable] = None):
+    def run(
+        self,
+        n_steps: int,
+        callback: Optional[Callable] = None,
+        max_regrow: int = 8,
+    ):
         """Advance n_steps (hoomd.run analogue) with overflow-safe chunking."""
         if self.config is None:
             raise RuntimeError("set_integrator first")
         remaining = int(n_steps)
+        regrows = 0
         while remaining > 0:
             chunk = min(self.sync_every, remaining)
             snapshot = self.state
             t0 = time.perf_counter()
-            new_state = self._chunk_fn(chunk)(self.state)
+            new_state, ys = self._chunk_fn(chunk)(self.state)
             overflow = bool(new_state.nbr_overflow)
             elapsed = time.perf_counter() - t0
             if overflow:
                 # Rewind, grow capacities, recompile, retry this chunk.
+                regrows += 1
+                if regrows > max_regrow:
+                    raise RuntimeError(
+                        f"capacity overflow persists after {max_regrow} "
+                        "regrows; the configuration density is outside what "
+                        "the engine's layout can absorb (try engine='blocked'"
+                        " or a larger initial capacity)"
+                    )
                 self.config = grow_config(self.config)
                 self.state = snapshot
+                self.metrics["overflow_retries"] += 1
                 continue
             self.state = new_state
             self.step_timing.append((chunk, elapsed))
+            for m in np.asarray(ys["m_lanczos"]).tolist():
+                hist = self.metrics["m_lanczos_hist"]
+                hist[int(m)] = hist.get(int(m), 0) + 1
+            self.metrics["steps"] += chunk
             remaining -= chunk
             if callback is not None:
                 callback(self)
         return self
+
+    def metrics_summary(self) -> str:
+        """One-line run statistics (the reference logs nothing per-step;
+        SURVEY.md §5 sets this bar: step timing + Lanczos m)."""
+        m = self.metrics
+        hist = " ".join(
+            f"m={k}:{v}" for k, v in sorted(m["m_lanczos_hist"].items())
+        )
+        wall = sum(e for _, e in self.step_timing)
+        sps = m["steps"] / wall if wall > 0 else float("nan")
+        return (
+            f"steps={m['steps']} wall={wall:.3f}s ({sps:.1f} steps/s) "
+            f"overflow_retries={m['overflow_retries']} lanczos[{hist}]"
+        )
 
     # -- observables ------------------------------------------------------
 
@@ -345,6 +416,19 @@ class Simulation:
             m_lanczos=jnp.asarray(int(d["m_lanczos"]), jnp.int32),
             nbr_overflow=jnp.asarray(False),
         )
+        # A 'now'-anchored protocol attached before restore re-anchors to the
+        # restored step (explicit-int offsets are left alone).
+        if self.method is not None and self.method.function_form is not None:
+            ff = shear_function.resolve_now(
+                self.method.function_form, int(self.state.step)
+            )
+            if ff is not self.method.function_form:
+                self.method = dataclasses.replace(self.method, function_form=ff)
+                if self.shear_variant is not None:
+                    self.shear_variant = dataclasses.replace(
+                        self.shear_variant, func=ff
+                    )
+                self._run_chunk_cache.clear()
         return self
 
 

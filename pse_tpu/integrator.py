@@ -122,6 +122,7 @@ def make_config(
     has_forces: bool = True,
     shard_slabs: int = 1,
     fused_farfield: bool = False,
+    ff_weight_dtype: str | None = None,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
@@ -164,7 +165,7 @@ def make_config(
         # but measured SLOWER at bench scale (its (cell, offset) grid is
         # ~187k steps of ~2k flops each — per-step overhead dominates);
         # opt in via fused_farfield until the z-column batched version lands.
-        ff_spec = bff.make_ff_spec(params, n_particles)
+        ff_spec = bff.make_ff_spec(params, n_particles, ff_weight_dtype)
         if ff_spec is not None and fused_farfield:
             ff_spec = ff_spec._replace(fused=True, store_weights=False)
         band_spec = bdn.make_band_spec(
@@ -179,7 +180,7 @@ def make_config(
                 params.xi, params.ewald_dr, params.ewald_cut, params.radius
             )
     if engine == "blocked":
-        ff_spec = bff.make_ff_spec(params, n_particles)
+        ff_spec = bff.make_ff_spec(params, n_particles, ff_weight_dtype)
         nf_spec = bnf.make_nf_spec(
             n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
             block_dtype=block_dtype, use_pallas=use_pallas,
@@ -223,11 +224,15 @@ def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
     if config.band_spec is not None:
         bs = config.band_spec
         rows = bs.rows
+        # Preserve the make_band_spec invariant the kernels were validated
+        # under: window <= 256 and cap >= window.  Band overflow widens the
+        # window up to that cap; past it only cap keeps growing (a persistent
+        # band overflow then surfaces via Simulation.run's retry limit).
+        window = min(bs.window + 128, 256)
+        cap = max(int(-(-bs.bins.cap * factor // rows)) * rows, window)
         changes["band_spec"] = bs._replace(
-            bins=bs.bins._replace(
-                cap=int(-(-bs.bins.cap * factor // rows)) * rows
-            ),
-            window=bs.window + 128,    # band overflow shares the sticky flag
+            bins=bs.bins._replace(cap=cap),
+            window=window,             # band overflow shares the sticky flag
         )
     return dataclasses.replace(config, **changes)
 

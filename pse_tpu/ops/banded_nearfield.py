@@ -322,27 +322,36 @@ def matvec_banded_reference(
     )                                                      # (T, R)
     SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
 
-    def tile(k):
-        return own[k][:, :, :, None]                       # (C, T, R, 1)
+    # One offset at a time, and tiles in z-chunks of Tc: the full
+    # (O, C, T, R, W) intermediate set is ~10x the per-offset working set,
+    # and even one offset's (C, T, R, W) set is ~200 GB at N=1M — chunking
+    # the tile axis bounds peak memory to ~6 x C*Tc*R*W floats regardless
+    # of N (the off-TPU halo path at N=1M needs this to fit in host RAM).
+    budget = 2 ** 27                                       # ~128M f32 ~ 512MB
+    Tc = max(1, min(T, budget // max(1, 6 * C * R * W)))
 
-    # One offset at a time: the full (O, C, T, R, W) intermediate set is
-    # ~10x the per-offset working set and blows host RAM at large N.
-    u = jnp.zeros((3, C, S), jnp.float32)
-    for oi in range(O):
+    def offset_chunk(oi, t0, tc):
+        """u contribution (3, C, tc*R) of offset oi, tiles [t0, t0+tc)."""
         nvo = nv_nbr[oi][:, None, None]                    # (C, 1, 1)
-        jw = j0[oi][..., None] + jnp.arange(W, dtype=jnp.int32)  # (C, T, W)
+        j0c = jax.lax.dynamic_slice_in_dim(j0[oi], t0, tc, axis=1)
+        jw = j0c[..., None] + jnp.arange(W, dtype=jnp.int32)   # (C, tc, W)
         use_main = jw < nvo
         idx = jnp.where(use_main, jw, S + jw - nvo)
         lane_ok = jnp.arange(W, dtype=jnp.int32) < nvo
         jslot = jnp.where(use_main, jw, jw - nvo)
 
         col_idx = nbr_cols[oi][:, None, None]              # (C, 1, 1)
-        win = posm_ext[:, col_idx, idx]                    # (4, C, T, W)
-        fw = f_ext[:, col_idx, idx]                        # (3, C, T, W)
+        win = posm_ext[:, col_idx, idx]                    # (4, C, tc, W)
+        fw = f_ext[:, col_idx, idx]                        # (3, C, tc, W)
         mj = jnp.where(lane_ok, win[3], 0.0)
+        islot_c = jax.lax.dynamic_slice_in_dim(islot, t0, tc, axis=0)
         same = (oi == 0) & (
-            jslot[:, :, None, :] == islot[None, :, :, None]
-        )                                                  # (C, T, R, W)
+            jslot[:, :, None, :] == islot_c[None, :, :, None]
+        )                                                  # (C, tc, R, W)
+
+        def tile(k):
+            o = jax.lax.dynamic_slice_in_dim(own[k], t0, tc, axis=1)
+            return o[:, :, :, None]                        # (C, tc, R, 1)
 
         comps = _pair_components(
             tile(0), tile(1), tile(2), tile(3),
@@ -352,9 +361,9 @@ def matvec_banded_reference(
             L=tuple(float(x) for x in L), cheb=cheb,
             cut2=float(ewald_cut) ** 2, dr2=float(ewald_dr) ** 2,
             same_slot=same,
-        )                                                  # 6 x (C, T, R, W)
+        )                                                  # 6 x (C, tc, R, W)
 
-        fw_b = fw[:, :, :, None, :]                        # (3, C, T, 1, W)
+        fw_b = fw[:, :, :, None, :]                        # (3, C, tc, 1, W)
         uo = []
         for r in range(3):
             acc = (
@@ -362,8 +371,16 @@ def matvec_banded_reference(
                 + comps[SYM[r][1]] * fw_b[1]
                 + comps[SYM[r][2]] * fw_b[2]
             )
-            uo.append(jnp.sum(acc, axis=3).reshape(C, S))  # sum lanes
-        u = u + jnp.stack(uo, axis=0)
+            uo.append(jnp.sum(acc, axis=3).reshape(C, tc * R))
+        return jnp.stack(uo, axis=0)                       # (3, C, tc*R)
+
+    u = jnp.zeros((3, C, S), jnp.float32)
+    for oi in range(O):
+        parts = [
+            offset_chunk(oi, t0, min(Tc, T - t0)) for t0 in range(0, T, Tc)
+        ]
+        u = u + (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=2))
     return u + self_mobility * f_cells.astype(jnp.float32)
 
 

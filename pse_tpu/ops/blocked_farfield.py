@@ -54,7 +54,11 @@ def _axis_divisors(n_grid: int, p: int):
     return [s for s in range(need, n_grid // 3 + 1) if n_grid % s == 0]
 
 
-def make_ff_spec(params: PSEParams, n_particles: int) -> FfSpec | None:
+def make_ff_spec(
+    params: PSEParams,
+    n_particles: int,
+    weight_dtype: str | None = None,
+) -> FfSpec | None:
     """Choose per-axis block sizes minimizing lane-tile padding of s³.
 
     The weight blocks are stored/streamed as (C, cap, s³); the minor
@@ -95,13 +99,22 @@ def make_ff_spec(params: PSEParams, n_particles: int) -> FfSpec | None:
     # CPU (tests) matmuls are true f32, so W stays f32 there — the stored
     # dtype matches the compute precision the backend actually uses.
     full_precision = params.error < 1e-3
-    import jax
+    if weight_dtype is None:
+        # Resolved from the live backend only when the caller didn't choose:
+        # explicit weight_dtype keeps spec construction backend-free (the
+        # axon plugin binds on first backend query — CLAUDE.md gotcha).
+        import jax
 
-    weight_dtype = (
-        "bfloat16"
-        if (not full_precision and jax.default_backend() == "tpu")
-        else "float32"
-    )
+        weight_dtype = (
+            "bfloat16"
+            if (not full_precision and jax.default_backend() == "tpu")
+            else "float32"
+        )
+    elif full_precision and weight_dtype == "bfloat16":
+        raise ValueError(
+            "bfloat16 far-field weights are incompatible with "
+            f"error={params.error:g} < 1e-3 (full-precision passes)"
+        )
     return FfSpec(
         bins=BinSpec(n_cells=nc, cap=cap), s=s, offsets=full_offsets(1),
         full_precision=full_precision, weight_dtype=weight_dtype,

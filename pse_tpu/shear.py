@@ -194,15 +194,40 @@ class ShearVariant:
 # ---------------------------------------------------------------------------
 # Reference-shaped constructors (shear_function.py:44-114).  ``zero`` is the
 # absolute timestep of the protocol's t=0; the reference's default 'now'
-# resolves against a global HOOMD context we don't have — here it means the
-# step count the simulation starts from (0 unless resumed), and an int can
-# always be passed explicitly.
+# resolves against the global HOOMD step counter (shear_function.py:13-26).
+# We have no global context at construction time, so 'now' produces a
+# NowOffset marker (an int) that Simulation rebinds to its CURRENT step when
+# the protocol is attached (set_integrator / set_params) or the state is
+# restored — so 'now' means "when the protocol starts", even on resumed
+# simulations.  An explicit int never rebinds.
 # ---------------------------------------------------------------------------
+
+
+class NowOffset(int):
+    """An offset created from zero='now': behaves as its int value but is
+    rebound to the simulation's current step at attach/restore time."""
+
+    __slots__ = ()
+
+
+def resolve_now(func: ShearFunction, step: int) -> ShearFunction:
+    """Return ``func`` with any 'now'-constructed offsets rebound to
+    ``step`` (recursing through WindowedShear).  No-op for explicit ints."""
+    if isinstance(func, WindowedShear):
+        base = resolve_now(func.base, step)
+        window = resolve_now(func.window, step)
+        if base is func.base and window is func.window:
+            return func
+        return dataclasses.replace(func, base=base, window=window)
+    off = getattr(func, "offset", 0)
+    if isinstance(off, NowOffset) and int(off) != int(step):
+        return dataclasses.replace(func, offset=NowOffset(int(step)))
+    return func
 
 
 def _resolve_zero(zero) -> int:
     if zero == "now":
-        return 0
+        return NowOffset(0)
     zero = int(zero)
     if zero < 0:
         raise ValueError("Cannot create a shear_function with a negative zero")

@@ -143,9 +143,12 @@ class GSDWriter:
         for name in self._names:
             self._f.write(name.encode()[: _NAME_SIZE - 1].ljust(_NAME_SIZE, b"\0"))
         self._f.seek(0)
+        # schema_version 1.0: the lowest version the emitted chunks require
+        # — readers from the reference envelope (HOOMD 2.3.3, gsd 1.5/1.6)
+        # reject files stamped above the schema they support.
         self._f.write(_HEADER.pack(
             _MAGIC, index_location, len(self._index), namelist_location,
-            len(self._names), _version(1, 4), _version(1, 0),
+            len(self._names), _version(1, 0), _version(1, 0),
             self._application.encode().ljust(64, b"\0"),
             b"hoomd".ljust(64, b"\0"), b"\0" * 80,
         ))
@@ -222,9 +225,12 @@ def iter_gsd_frames(path: str):
 def read_gsd(path: str) -> dict:
     """Load a whole PSE trajectory written by GSDWriter."""
     frames = list(iter_gsd_frames(path))
+    # position-only files (append(pos) / external writers) have no image
+    # chunks; stacking None would crash the loader
+    have_images = frames and all(fr[1] is not None for fr in frames)
     return {
         "pos": np.stack([fr[0] for fr in frames]),
-        "images": np.stack([fr[1] for fr in frames]),
+        "images": np.stack([fr[1] for fr in frames]) if have_images else None,
         "step": np.asarray([fr[2] for fr in frames], np.int64),
         "tilt_xy": np.asarray([float(fr[3][3]) for fr in frames]),
         "box": frames[0][3] if frames else None,

@@ -47,7 +47,9 @@ def test_gsd_header_layout(tmp_path):
     )
     assert magic == 0x65DF65DF65DF65DF
     assert gsd_v == (1 << 16)               # container 1.0
-    assert schema_v == (1 << 16) | 4        # hoomd schema 1.4
+    # hoomd schema 1.0: the lowest version the emitted chunks require, so
+    # readers from the reference envelope (gsd 1.5/1.6) accept the file
+    assert schema_v == (1 << 16) | 0
     assert raw[48:48 + 64].rstrip(b"\0") == b"pse_tpu"
     assert raw[112:112 + 64].rstrip(b"\0") == b"hoomd"
     assert index_loc > 0 and name_loc > index_loc
@@ -81,3 +83,20 @@ def test_gsd_simulation_callback(tmp_path):
     assert d["pos"].shape[0] == 2           # one frame per sync chunk
     assert d["pos"].shape[1] == n
     assert np.all(np.isfinite(d["pos"]))
+
+
+def test_read_gsd_position_only(tmp_path):
+    """Files without image chunks (append(pos) / external writers) load with
+    images=None instead of crashing (ADVICE r2)."""
+    from pse_tpu.utils.gsd import GSDWriter, read_gsd
+
+    path = str(tmp_path / "posonly.gsd")
+    w = GSDWriter(path, L=10.0)
+    pos = np.arange(12, dtype=np.float32).reshape(4, 3)
+    w.append(pos, step=0)
+    w.append(pos + 1.0, step=1)
+    w.close()
+    d = read_gsd(path)
+    assert d["images"] is None
+    assert d["pos"].shape == (2, 4, 3)
+    np.testing.assert_allclose(d["pos"][1], pos + 1.0)
