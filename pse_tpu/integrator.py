@@ -42,10 +42,11 @@ from .box import Box, wrap
 from .cellbins import bin_columns, bin_particles, vec_from_cells, vec_to_cells
 from .neighbors import NeighborSpec, build_neighbor_list
 from .params import PSEParams, gridk_arrays
-from .ops import farfield, lanczos, nearfield, noise
+from .ops import farfield, lanczos, mxu_fft, nearfield, noise
 from .ops import banded_nearfield as bdn
 from .ops import blocked_farfield as bff
 from .ops import blocked_nearfield as bnf
+from .ops import sep_farfield as sff
 from .ops.chebyshev import ChebPair, fit_pair_functions
 
 
@@ -285,6 +286,21 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _rfft3(grid):
+    """Forward 3-D rfft over axes (1,2,3): MXU matmul-DFT on TPU (XLA's TPU
+    FFT is ~40x off the streaming bound — ops/mxu_fft.py), jnp.fft off-TPU
+    (keeps the CPU suite on an independent FFT implementation)."""
+    if jax.default_backend() == "tpu":
+        return mxu_fft.rfft3_mxu(grid)
+    return jnp.fft.rfftn(grid, axes=(1, 2, 3))
+
+
+def _irfft3(ghat, s):
+    if jax.default_backend() == "tpu":
+        return mxu_fft.irfft3_mxu(ghat, s)
+    return jnp.fft.irfftn(ghat, s=s, axes=(1, 2, 3))
+
+
 def _prepare_gather(config, pos, box):
     p = config.params
     nlist = build_neighbor_list(pos, box, config.nbr_spec)
@@ -296,6 +312,61 @@ def _prepare_gather(config, pos, box):
     return _GatherCtx(coeffs, taps), nlist.overflow
 
 
+def _ff_shared(config, ff_bins, box):
+    """Per-step far-field data shared by spread and contract: separable
+    Gaussian factors (default) or the stored-W blocks (legacy path)."""
+    spec = config.ff_spec
+    if spec.fused:
+        return None
+    if spec.separable:
+        return sff.build_factors(ff_bins, box, spec, config.params)
+    if spec.store_weights:
+        return bff.build_weights(ff_bins, box, spec, config.params)
+    return None
+
+
+def _ff_spread(config, ctx, box, forces):
+    """Particle forces (N, 3) -> force-moment grid (3, Nx, Ny, Nz)."""
+    spec = config.ff_spec
+    f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
+    if spec.fused:
+        from .ops import pallas_farfield as pff
+
+        return pff.spread_fused(
+            ctx.ff_bins, f_cells, box, spec, config.params,
+            interpret=_pallas_interpret(),
+        )
+    if spec.separable:
+        return sff.spread_sep(
+            ctx.ff_bins, f_cells, box, spec, config.params, ctx.ff_weights
+        )
+    return bff.spread_blocked(
+        ctx.ff_bins, f_cells, box, spec, config.params, weights=ctx.ff_weights
+    )
+
+
+def _ff_contract(config, ctx, box, grid_v):
+    """Velocity grid -> particle velocities (N, 3)."""
+    spec = config.ff_spec
+    if spec.fused:
+        from .ops import pallas_farfield as pff
+
+        u_cells = pff.contract_fused(
+            ctx.ff_bins, grid_v, box, spec, config.params,
+            interpret=_pallas_interpret(),
+        )
+    elif spec.separable:
+        u_cells = sff.contract_sep(
+            ctx.ff_bins, grid_v, box, spec, config.params, ctx.ff_weights
+        )
+    else:
+        u_cells = bff.contract_blocked(
+            ctx.ff_bins, grid_v, box, spec, config.params,
+            weights=ctx.ff_weights,
+        )
+    return vec_from_cells(ctx.ff_bins, spec.bins, u_cells)
+
+
 def _prepare_blocked(config, pos, box):
     p = config.params
     nf_bins = bin_particles(pos, box, config.nf_spec.bins)
@@ -303,11 +374,7 @@ def _prepare_blocked(config, pos, box):
     blocks = bnf.build_pair_blocks(
         nf_bins, box, config.nf_spec, config.cheb, p.ewald_cut, p.ewald_dr
     )
-    ff_weights = (
-        bff.build_weights(ff_bins, box, config.ff_spec, p)
-        if config.ff_spec.store_weights
-        else None
-    )
+    ff_weights = _ff_shared(config, ff_bins, box)
     overflow = nf_bins.overflow | ff_bins.overflow
     return _BlockedCtx(nf_bins, ff_bins, blocks, ff_weights), overflow
 
@@ -329,11 +396,7 @@ def _prepare_banded(config, pos, box):
             nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut,
             p.ewald_dr, j0, n_valid,
         )
-    ff_weights = (
-        bff.build_weights(ff_bins, box, config.ff_spec, p)
-        if config.ff_spec.store_weights
-        else None
-    )
+    ff_weights = _ff_shared(config, ff_bins, box)
     overflow = nf_bins.overflow | ff_bins.overflow | band_overflow
     return (
         _BandedCtx(nf_bins, ff_bins, j0, n_valid, blocks, ff_weights,
@@ -374,10 +437,7 @@ def _engine(config: StepConfig):
         def psi_result_to_particles(ctx, u):
             return u
     elif config.engine == "banded":
-        from .ops import pallas_farfield as pff
-
         bs = config.band_spec
-        ff_spec = config.ff_spec
 
         def _nf_matvec(ctx, cells):
             if _pallas_interpret():
@@ -400,28 +460,10 @@ def _engine(config: StepConfig):
             return vec_from_cells(ctx.nf_bins, bs.bins, _nf_matvec(ctx, cells))
 
         def spread(ctx, box, forces):
-            f_cells = vec_to_cells(ctx.ff_bins, ff_spec.bins, forces)
-            if ff_spec.fused:
-                return pff.spread_fused(
-                    ctx.ff_bins, f_cells, box, ff_spec, p,
-                    interpret=_pallas_interpret(),
-                )
-            return bff.spread_blocked(
-                ctx.ff_bins, f_cells, box, ff_spec, p, weights=ctx.ff_weights
-            )
+            return _ff_spread(config, ctx, box, forces)
 
         def contract(ctx, box, grid_v):
-            if ff_spec.fused:
-                u_cells = pff.contract_fused(
-                    ctx.ff_bins, grid_v, box, ff_spec, p,
-                    interpret=_pallas_interpret(),
-                )
-            else:
-                u_cells = bff.contract_blocked(
-                    ctx.ff_bins, grid_v, box, ff_spec, p,
-                    weights=ctx.ff_weights,
-                )
-            return vec_from_cells(ctx.ff_bins, ff_spec.bins, u_cells)
+            return _ff_contract(config, ctx, box, grid_v)
 
         def slots_of_psi(ctx, key, n):
             spec = bs.bins
@@ -463,16 +505,10 @@ def _engine(config: StepConfig):
             return _nf_cells_back(config, ctx, _nf_matvec(ctx, cells))
 
         def spread(ctx, box, forces):
-            f_cells = vec_to_cells(ctx.ff_bins, ff_spec.bins, forces)
-            return bff.spread_blocked(
-                ctx.ff_bins, f_cells, box, ff_spec, p, weights=ctx.ff_weights
-            )
+            return _ff_spread(config, ctx, box, forces)
 
         def contract(ctx, box, grid_v):
-            u_cells = bff.contract_blocked(
-                ctx.ff_bins, grid_v, box, ff_spec, p, weights=ctx.ff_weights
-            )
-            return vec_from_cells(ctx.ff_bins, ff_spec.bins, u_cells)
+            return _ff_contract(config, ctx, box, grid_v)
 
         def slots_of_psi(ctx, key, n):
             spec = config.nf_spec.bins
@@ -531,9 +567,9 @@ def mobility_impl(config: StepConfig, eng, pos, forces, tilt_xy=0.0):
 
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
     grid = eng.spread(ctx, box, forces)
-    ghat = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+    ghat = _rfft3(grid)
     ghat = farfield.apply_green(ghat, kvec, W)
-    grid_v = jnp.fft.irfftn(ghat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
+    grid_v = _irfft3(ghat, (p.Nx, p.Ny, p.Nz))
     u_wave = eng.contract(ctx, box, grid_v.astype(jnp.float32))
     return u_real + u_wave, overflow
 
@@ -557,7 +593,7 @@ def brownian_displacement(config: StepConfig, pos, tilt_xy, step, m_start, T, dt
 
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
     noise_hat = noise.wave_space_noise_hat_half(k_grid, p, kvec, W, T, dt)
-    grid_v = jnp.fft.irfftn(noise_hat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
+    grid_v = _irfft3(noise_hat, (p.Nx, p.Ny, p.Nz))
     u_wave = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     psi = eng.slots_of_psi(ctx, k_psi, pos.shape[0])
@@ -631,7 +667,7 @@ def step_impl(
         with jax.named_scope("pse_spread"):
             grid = eng.spread(ctx, box, forces)
         with jax.named_scope("pse_fft"):
-            ghat = jnp.fft.rfftn(grid, axes=(1, 2, 3))
+            ghat = _rfft3(grid)
         with jax.named_scope("pse_green"):
             ghat = farfield.apply_green(ghat, kvec, W)
         if config.thermal:
@@ -640,7 +676,7 @@ def step_impl(
         with jax.named_scope("pse_green"):
             ghat = noise.wave_space_noise_hat_half(k_grid, p, kvec, W, T, dt)
     with jax.named_scope("pse_ifft"):
-        grid_v = jnp.fft.irfftn(ghat, s=(p.Nx, p.Ny, p.Nz), axes=(1, 2, 3))
+        grid_v = _irfft3(ghat, (p.Nx, p.Ny, p.Nz))
     with jax.named_scope("pse_contract"):
         u = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 

@@ -45,6 +45,8 @@ class FfSpec(NamedTuple):
     fused: bool = False          # Pallas fused spread/contract (no stored W)
     weight_dtype: str = "float32"  # stored-W dtype (bf16 on TPU when the
                                    # default-precision MXU rounds there anyway)
+    separable: bool = True       # separable-factor path (ops/sep_farfield.py)
+                                 # — no stored W; False = stored-W einsum
 
 
 def _axis_divisors(n_grid: int, p: int):

@@ -1,0 +1,100 @@
+"""Separable-factor far field (ops/sep_farfield.py) vs the stored-W sweep.
+
+The two paths compute the same Gaussian quadrature (same FfSpec geometry,
+same _particle_node_fractions) through different factorizations, so they
+must agree to f32 round-off — tilted boxes included (the xy factor is kept
+joint exactly because tilt mixes x into y).  Also pins the adjointness
+relation spread/contract share one kernel in the reference
+(Mobility.cu:114-252 vs 325-477): ⟨spread(f), g⟩ = ⟨f, contractᵀ(g)⟩/quadW.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pse_tpu as pse
+from pse_tpu.box import Box
+from pse_tpu.cellbins import bin_particles, vec_to_cells
+from pse_tpu.ops import blocked_farfield as bff
+from pse_tpu.ops import sep_farfield as sff
+
+
+def _setup(n=600, L=24.0, seed=0, dtype="float32"):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    spec = bff.make_ff_spec(params, n, dtype)
+    return pos, params, spec, rng
+
+
+@pytest.mark.parametrize("tilt", [0.0, 0.3, -0.45])
+def test_spread_contract_match_storedw(tilt):
+    pos, params, spec, rng = _setup()
+    L = params.L
+    box = Box(jnp.asarray(L, jnp.float32), jnp.asarray(tilt, jnp.float32))
+    bins = bin_particles(jnp.asarray(pos), box, spec.bins)
+    f = rng.normal(size=(pos.shape[0], 3)).astype(np.float32)
+    f_cells = vec_to_cells(bins, spec.bins, jnp.asarray(f))
+
+    W = bff.build_weights(bins, box, spec, params)
+    fac = sff.build_factors(bins, box, spec, params)
+
+    g_ref = bff.spread_blocked(bins, f_cells, box, spec, params, weights=W)
+    g_sep = sff.spread_sep(bins, f_cells, box, spec, params, fac)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(
+        np.asarray(g_sep), np.asarray(g_ref), atol=2e-5 * scale
+    )
+
+    gv = jnp.asarray(rng.normal(size=g_ref.shape).astype(np.float32))
+    u_ref = bff.contract_blocked(bins, gv, box, spec, params, weights=W)
+    u_sep = sff.contract_sep(bins, gv, box, spec, params, fac)
+    scale = float(jnp.max(jnp.abs(u_ref)))
+    np.testing.assert_allclose(
+        np.asarray(u_sep), np.asarray(u_ref), atol=2e-5 * scale
+    )
+
+
+def test_spread_contract_adjoint():
+    pos, params, spec, rng = _setup(seed=3)
+    L = params.L
+    box = Box(jnp.asarray(L, jnp.float32), jnp.asarray(0.2, jnp.float32))
+    bins = bin_particles(jnp.asarray(pos), box, spec.bins)
+    f = rng.normal(size=(pos.shape[0], 3)).astype(np.float32)
+    f_cells = vec_to_cells(bins, spec.bins, jnp.asarray(f))
+    fac = sff.build_factors(bins, box, spec, params)
+
+    grid = sff.spread_sep(bins, f_cells, box, spec, params, fac)
+    gv = jnp.asarray(rng.normal(size=grid.shape).astype(np.float32))
+    u = sff.contract_sep(bins, gv, box, spec, params, fac)
+
+    lhs = float(jnp.vdot(grid, gv))
+    # contract folds quadW·prefac; spread folds prefac — the adjoint pairing
+    # therefore differs by quadW.
+    rhs = float(jnp.vdot(f_cells, u)) / params.quadW
+    assert abs(lhs - rhs) <= 1e-4 * abs(lhs)
+
+
+def test_mobility_agrees_through_engines():
+    """End-to-end U = M·F with the separable path (banded/blocked default)
+    vs the stored-W spec — same engine, flipped ff_spec flag."""
+    import dataclasses
+
+    from pse_tpu import integrator
+
+    pos, params, spec, rng = _setup(n=400, L=26.0)
+    n = pos.shape[0]
+    f = rng.normal(size=(n, 3)).astype(np.float32)
+
+    cfg = integrator.make_config(params, n, thermal=False, engine="blocked")
+    assert cfg.ff_spec is not None and cfg.ff_spec.separable
+    u_sep, _ = integrator.mobility(cfg, pos, f)
+
+    cfg_w = dataclasses.replace(
+        cfg, ff_spec=cfg.ff_spec._replace(separable=False)
+    )
+    u_w, _ = integrator.mobility(cfg_w, pos, f)
+    scale = float(jnp.max(jnp.abs(u_w)))
+    np.testing.assert_allclose(
+        np.asarray(u_sep), np.asarray(u_w), atol=5e-5 * scale
+    )

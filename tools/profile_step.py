@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--xi", type=float, default=0.5)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--forces", action="store_true")
+    ap.add_argument("--engine", default="banded")
+    ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--trace-dir", default="/tmp/pse_trace")
     ap.add_argument("--lattice", action="store_true",
                     help="jittered lattice instead of uniform random positions")
@@ -52,7 +54,7 @@ def main():
 
     params = pse.make_params(xi=args.xi, error=1e-3, L=L)
     config = integrator.make_config(
-        params, n, thermal=True, seed=1, engine="blocked",
+        params, n, thermal=True, seed=1, engine=args.engine,
         has_forces=args.forces,
     )
     state = integrator.make_state(pos)
@@ -68,28 +70,35 @@ def main():
           f"ff={config.ff_spec and (config.ff_spec.bins.n_cells, config.ff_spec.bins.cap)} "
           f"forces={args.forces}", flush=True)
 
+    @jax.jit
+    def run_chunk(state):
+        def body(s, _):
+            new_s, _info = integrator.step(config, s, forces, T, dt, rate)
+            return new_s, None
+        final, _ = jax.lax.scan(body, state, None, length=args.chunk)
+        return final
+
     t0 = time.perf_counter()
-    for _ in range(3):
-        state, info = integrator.step(config, state, forces, T, dt, rate)
-    jax.block_until_ready(state.pos)
+    state = run_chunk(state)
+    np.asarray(state.pos)
     print(f"warmup+compile: {time.perf_counter()-t0:.1f}s "
           f"m_lanczos={int(state.m_lanczos)} overflow={bool(state.nbr_overflow)}",
           flush=True)
 
-    # trusted aggregate wall time
+    # trusted aggregate wall time: one scan chunk per dispatch, multi-second
+    n_chunks = max(1, args.steps // args.chunk)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, info = integrator.step(config, state, forces, T, dt, rate)
+    for _ in range(n_chunks):
+        state = run_chunk(state)
     np.asarray(state.pos)
-    wall = (time.perf_counter() - t0) / args.steps
-    print(f"step wall: {wall*1e3:.1f} ms  ({n/wall:.3g} particle-steps/s)  "
+    wall = (time.perf_counter() - t0) / (n_chunks * args.chunk)
+    print(f"step wall: {wall*1e3:.2f} ms  ({n/wall:.3g} particle-steps/s)  "
           f"m_lanczos={int(state.m_lanczos)}", flush=True)
 
     os.makedirs(args.trace_dir, exist_ok=True)
     jax.profiler.start_trace(args.trace_dir)
-    for _ in range(3):
-        state, info = integrator.step(config, state, forces, T, dt, rate)
-    jax.block_until_ready(state.pos)
+    state = run_chunk(state)
+    np.asarray(state.pos)
     jax.profiler.stop_trace()
 
     pbs = sorted(glob.glob(args.trace_dir + "/**/*.xplane.pb", recursive=True))
