@@ -47,7 +47,7 @@ def make_positions(n, phi, seed=0):
 
 
 def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
-              n_steps=30, chunk=10, seed=0, engine="banded"):
+              n_steps=50, chunk=25, seed=0, engine="banded"):
     import jax
     import jax.numpy as jnp
     import pse_tpu as pse

@@ -57,6 +57,46 @@ class CellBins(NamedTuple):
     overflow: jax.Array  # () bool
 
 
+def _invert_perm_payload(order: jax.Array, payload: jax.Array) -> jax.Array:
+    """out[order[i]] = payload[i] — inverse permutation via one keyed sort.
+
+    An XLA scatter runs ~0.11 G elem/s on TPU (measured, DESIGN.md); a
+    device sort of the same 100k rows is ~3× faster, so the inverse perm
+    is computed by sorting (order, payload) on the first key.
+    """
+    return jax.lax.sort((order, payload), num_keys=1)[1]
+
+
+def _scatter_fields(pos_sorted, order, sorted_cid, rank_clip, c_total, cap):
+    """All padded per-slot fields in ONE windowed scatter.
+
+    Five separate (N,)→(C, cap) scatters measured ~0.59 ms EACH on TPU
+    (scatter cost is per-row, not per-byte), so (px, py, pz, pid) scatter
+    together as a 4-wide column window into a (4, C·cap) target; mask and
+    the int pid are derived from the pid lane (exact as f32 for N < 2²⁴).
+    """
+    n = order.shape[0]
+    assert n < (1 << 24), "pid-as-f32 scatter packing requires N < 2^24"
+    dtype = pos_sorted.dtype
+    slot = sorted_cid * cap + rank_clip
+    vals = jnp.stack(
+        [pos_sorted[:, 0], pos_sorted[:, 1], pos_sorted[:, 2],
+         order.astype(dtype)],
+        axis=0,
+    )                                                   # (4, N)
+    init = jnp.concatenate(
+        [jnp.zeros((3, c_total * cap), dtype),
+         jnp.full((1, c_total * cap), n, dtype)]
+    )
+    out = init.at[:, slot].set(vals, mode="drop")       # one scatter
+    px = out[0].reshape(c_total, cap)
+    py = out[1].reshape(c_total, cap)
+    pz = out[2].reshape(c_total, cap)
+    pidf = out[3].reshape(c_total, cap)
+    mask = jnp.where(pidf < n, jnp.ones((), dtype), jnp.zeros((), dtype))
+    return px, py, pz, mask, pidf.astype(jnp.int32)
+
+
 def choose_cap(mean_occupancy: float, multiple: int = 8, slack_sigmas: float = 5.0) -> int:
     """Capacity covering Poisson occupancy tails, rounded to a tile multiple."""
     mu = max(mean_occupancy, 1e-3)
@@ -91,18 +131,10 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     overflow = (rank_sorted >= cap).any()
     rank_clip = jnp.minimum(rank_sorted, cap - 1)
 
-    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-
-    def scat(vals, fill, dtype):
-        out = jnp.full((c_total, cap), fill, dtype)
-        return out.at[sorted_cid, rank_clip].set(vals, mode="drop")
-
-    pos_sorted = pos[order]
-    px = scat(pos_sorted[:, 0], 0.0, pos.dtype)
-    py = scat(pos_sorted[:, 1], 0.0, pos.dtype)
-    pz = scat(pos_sorted[:, 2], 0.0, pos.dtype)
-    pid = scat(order, n, jnp.int32)
-    mask = scat(jnp.ones((n,), pos.dtype), 0.0, pos.dtype)
+    rank_of = _invert_perm_payload(order, rank_sorted)
+    px, py, pz, mask, pid = _scatter_fields(
+        pos[order], order, sorted_cid, rank_clip, c_total, cap
+    )
 
     return CellBins(
         px=px, py=py, pz=pz, mask=mask, pid=pid,
@@ -148,18 +180,10 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     overflow = (rank_sorted >= cap).any()
     rank_clip = jnp.minimum(rank_sorted, cap - 1)
 
-    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-
-    def scat(vals, fill, dtype):
-        out = jnp.full((c_total, cap), fill, dtype)
-        return out.at[sorted_cid, rank_clip].set(vals, mode="drop")
-
-    pos_sorted = pos[order]
-    px = scat(pos_sorted[:, 0], 0.0, pos.dtype)
-    py = scat(pos_sorted[:, 1], 0.0, pos.dtype)
-    pz = scat(pos_sorted[:, 2], 0.0, pos.dtype)
-    pid = scat(order, n, jnp.int32)
-    mask = scat(jnp.ones((n,), pos.dtype), 0.0, pos.dtype)
+    rank_of = _invert_perm_payload(order, rank_sorted)
+    px, py, pz, mask, pid = _scatter_fields(
+        pos[order], order, sorted_cid, rank_clip, c_total, cap
+    )
 
     return CellBins(
         px=px, py=py, pz=pz, mask=mask, pid=pid,

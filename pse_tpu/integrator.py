@@ -46,6 +46,7 @@ from .ops import farfield, lanczos, mxu_fft, nearfield, noise
 from .ops import banded_nearfield as bdn
 from .ops import blocked_farfield as bff
 from .ops import blocked_nearfield as bnf
+from .ops import column_farfield as cff
 from .ops import sep_farfield as sff
 from .ops.chebyshev import ChebPair, fit_pair_functions
 
@@ -88,6 +89,7 @@ class StepConfig:
     cheb: Optional[ChebPair] = None
     has_forces: bool = True                # compile the deterministic M·F path
     band_spec: Optional[bdn.BandSpec] = None
+    colff_spec: Optional[cff.ColFfSpec] = None   # z-column far field (preferred)
 
     def __post_init__(self):
         # Invariant: a step must compile at least one of the two branches.
@@ -105,7 +107,7 @@ class StepConfig:
         return hash(
             (self.params, self.nbr_spec, self.thermal, self.m_max, self.seed,
              self.engine, self.nf_spec, self.ff_spec, self.has_forces,
-             self.band_spec)
+             self.band_spec, self.colff_spec)
         )
 
 
@@ -200,10 +202,16 @@ def make_config(
         # well-defined for zero-force athermal runs.
         has_forces = True
 
+    # The z-column far field is the production spread/contract wherever its
+    # geometry fits; ff_spec stays as the cross-validation / fallback path.
+    colff_spec = None
+    if engine in ("banded", "blocked") and ff_spec is not None and not ff_spec.fused:
+        colff_spec = cff.make_col_spec(params, n_particles, ff_weight_dtype)
+
     return StepConfig(
         params=params, nbr_spec=nbr_spec, thermal=thermal, m_max=m_max,
         seed=seed, engine=engine, nf_spec=nf_spec, ff_spec=ff_spec, cheb=cheb,
-        has_forces=has_forces, band_spec=band_spec,
+        has_forces=has_forces, band_spec=band_spec, colff_spec=colff_spec,
     )
 
 
@@ -220,6 +228,11 @@ def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
     if config.ff_spec is not None:
         bins = config.ff_spec.bins
         changes["ff_spec"] = config.ff_spec._replace(
+            bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
+        )
+    if config.colff_spec is not None:
+        bins = config.colff_spec.bins
+        changes["colff_spec"] = config.colff_spec._replace(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
         )
     if config.band_spec is not None:
@@ -312,9 +325,20 @@ def _prepare_gather(config, pos, box):
     return _GatherCtx(coeffs, taps), nlist.overflow
 
 
+def _ff_bin_spec(config):
+    """The BinSpec the far-field path bins particles with."""
+    if config.colff_spec is not None:
+        return config.colff_spec.bins
+    return config.ff_spec.bins
+
+
 def _ff_shared(config, ff_bins, box):
-    """Per-step far-field data shared by spread and contract: separable
-    Gaussian factors (default) or the stored-W blocks (legacy path)."""
+    """Per-step far-field data shared by spread and contract: z-column
+    factors (production), separable factors, or stored-W blocks (legacy)."""
+    if config.colff_spec is not None:
+        return cff.build_col_factors(
+            ff_bins, box, config.colff_spec, config.params
+        )
     spec = config.ff_spec
     if spec.fused:
         return None
@@ -327,6 +351,12 @@ def _ff_shared(config, ff_bins, box):
 
 def _ff_spread(config, ctx, box, forces):
     """Particle forces (N, 3) -> force-moment grid (3, Nx, Ny, Nz)."""
+    if config.colff_spec is not None:
+        spec = config.colff_spec
+        f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
+        return cff.spread_col(
+            ctx.ff_bins, f_cells, box, spec, config.params, ctx.ff_weights
+        )
     spec = config.ff_spec
     f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
     if spec.fused:
@@ -347,6 +377,12 @@ def _ff_spread(config, ctx, box, forces):
 
 def _ff_contract(config, ctx, box, grid_v):
     """Velocity grid -> particle velocities (N, 3)."""
+    if config.colff_spec is not None:
+        spec = config.colff_spec
+        u_cells = cff.contract_col(
+            ctx.ff_bins, grid_v, box, spec, config.params, ctx.ff_weights
+        )
+        return vec_from_cells(ctx.ff_bins, spec.bins, u_cells)
     spec = config.ff_spec
     if spec.fused:
         from .ops import pallas_farfield as pff
@@ -370,7 +406,7 @@ def _ff_contract(config, ctx, box, grid_v):
 def _prepare_blocked(config, pos, box):
     p = config.params
     nf_bins = bin_particles(pos, box, config.nf_spec.bins)
-    ff_bins = bin_particles(pos, box, config.ff_spec.bins)
+    ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
     blocks = bnf.build_pair_blocks(
         nf_bins, box, config.nf_spec, config.cheb, p.ewald_cut, p.ewald_dr
     )
@@ -383,7 +419,7 @@ def _prepare_banded(config, pos, box):
     p = config.params
     bs = config.band_spec
     nf_bins = bin_columns(pos, box, bs.bins)
-    ff_bins = bin_particles(pos, box, config.ff_spec.bins)
+    ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
     j0, n_valid, band_overflow = bdn.compute_windows(
         nf_bins, bs, box, p.ewald_cut
     )

@@ -1,0 +1,252 @@
+"""Z-column NUFFT spread/contract: bilinear-form matmuls, no z windows.
+
+Third-generation TPU far field (production path).  Lessons from the two
+predecessors, both measured on v5e:
+
+  * stored-W einsum (ops/blocked_farfield.py): W = (27, C, cap, s³) GBs of
+    HBM traffic + N=3 GEMV contractions;
+  * separable extended-window (ops/sep_farfield.py): right flop count, but
+    its 3-D overlap-add/gather intermediates have tiny (4..12) minor dims
+    that tile-pad 10-30×, and the measured contract was slower than the
+    stored-W path it replaced.
+
+This formulation keeps every array's minor dimension at ~Nz or wider.
+Cells are full-height columns of (sx, sy, Nz) grid nodes.  For a particle
+p in column c and its 3×3 xy-neighborhood window G (9·sx·sy xy-nodes ×
+Nz z-nodes), the Gaussian quadrature is a bilinear form
+
+    u[p, comp] = wxy[p, :] · G[:, :, comp] · wz[p, :]ᵀ
+
+evaluated as two dense matmuls with the particle axis batched per column:
+H = wxy @ G (MXU, K = 9·sx·sy), then a z-masked reduce against wz (VPU).
+Contracting ALL Nz z-nodes instead of a ±rcut window trades ~5× MXU
+overcompute (free — the far field is bandwidth-bound) for the entire
+z-extension machinery; the z Gaussian decays below ``error`` inside the
+column (same superset-support quadrature argument as blocked_farfield.py).
+Spread is the exact transpose: out = wxyᵀ @ (f ⊗ wz), overlap-added onto
+the grid along x and y only (3×3 rolls of arrays whose minor dim is Nz).
+
+Reference semantics: gpu_stokes_Spread_kernel / gpu_stokes_Contract_kernel
+(Mobility.cu:114-252, 325-477) — same Gaussian, same prefac/quadW scales,
+same xy tilt handling (the xy factor is joint because tilt mixes x into y).
+Cross-validated against the stored-W sweep in tests/test_sep_farfield.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..box import Box
+from ..cellbins import BinSpec, CellBins
+from ..params import PSEParams
+
+
+class ColFfSpec(NamedTuple):
+    """Static z-column far-field configuration (hashable)."""
+
+    bins: BinSpec            # n_cells = (ncx, ncy, 1); cap per column
+    s: tuple                 # (sx, sy) nodes per column per axis
+    full_precision: bool = False
+    weight_dtype: str = "float32"
+
+
+class ColFactors(NamedTuple):
+    """Per-step Gaussian factors shared by spread and contract."""
+
+    wxy: jax.Array   # (C, cap, 9·sx·sy) joint xy window factor (tilt-aware)
+    wz: jax.Array    # (C, cap, Nz) full-column z factor, mask folded
+
+
+def make_col_spec(
+    params: PSEParams,
+    n_particles: int,
+    weight_dtype: str | None = None,
+) -> ColFfSpec | None:
+    """Choose (sx, sy) as grid divisors covering the Gaussian reach.
+
+    Needs sx, sy ≥ P/2 + 1 so the 3×3 window is a superset of the P-point
+    support, and ≥ 3 columns per axis so the periodic stencil has distinct
+    neighbors.  Returns None when the grid is too small (fallback paths).
+    """
+    need = params.gauss_P // 2 + 1
+
+    def best_axis(ng):
+        cands = [s for s in range(need, ng // 3 + 1) if ng % s == 0]
+        return min(cands) if cands else None
+
+    sx = best_axis(params.Nx)
+    sy = best_axis(params.Ny)
+    if sx is None or sy is None:
+        return None
+    ncx, ncy = params.Nx // sx, params.Ny // sy
+
+    mu = n_particles / (ncx * ncy)
+    cap = int(math.ceil((mu + 5.0 * math.sqrt(mu) + 4.0) / 8.0)) * 8
+    cap = min(cap, max(8, int(math.ceil(n_particles / 8.0)) * 8))
+
+    full_precision = params.error < 1e-3
+    if weight_dtype is None:
+        import jax as _jax
+
+        weight_dtype = (
+            "bfloat16"
+            if (not full_precision and _jax.default_backend() == "tpu")
+            else "float32"
+        )
+    elif full_precision and weight_dtype == "bfloat16":
+        raise ValueError(
+            "bfloat16 far-field factors are incompatible with "
+            f"error={params.error:g} < 1e-3 (full-precision passes)"
+        )
+    return ColFfSpec(
+        bins=BinSpec(n_cells=(ncx, ncy, 1), cap=cap),
+        s=(sx, sy),
+        full_precision=full_precision,
+        weight_dtype=weight_dtype,
+    )
+
+
+def _node_fractions_xy(bins: CellBins, box: Box, params: PSEParams):
+    """Node-space particle coordinates per axis (C, cap), tilt-reduced x."""
+    L = box.L
+    lo = box.lo
+    fx = (bins.px - lo[0] - box.tilt_xy * bins.py) / L[0]
+    fy = (bins.py - lo[1]) / L[1]
+    fz = (bins.pz - lo[2]) / L[2]
+    fx = fx - jnp.floor(fx)
+    fy = fy - jnp.floor(fy)
+    fz = fz - jnp.floor(fz)
+    return fx * params.Nx, fy * params.Ny, fz * params.Nz
+
+
+def build_col_factors(
+    bins: CellBins, box: Box, spec: ColFfSpec, params: PSEParams
+) -> ColFactors:
+    sx, sy = spec.s
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    Nx, Ny, Nz = params.Nx, params.Ny, params.Nz
+    L = params.L
+    expfac = params.spread_expfac
+    pfx, pfy, pfz = _node_fractions_xy(bins, box, params)
+
+    import numpy as np
+
+    bx, by = np.meshgrid(np.arange(ncx), np.arange(ncy), indexing="ij")
+    bx = jnp.asarray(bx.reshape(-1), jnp.int32)
+    by = jnp.asarray(by.reshape(-1), jnp.int32)
+
+    def ext_frac_delta(b, s, pf, N):
+        node = (b[:, None] - 1) * s + jnp.arange(3 * s, dtype=jnp.int32)
+        fd = node[:, None, :].astype(pf.dtype) / N - (pf / N)[:, :, None]
+        return fd - jnp.round(fd)                     # (C, cap, 3s)
+
+    fdx = ext_frac_delta(bx, sx, pfx, Nx)
+    fdy = ext_frac_delta(by, sy, pfy, Ny)
+    # full z column: nodes 0..Nz-1, minimum-image reduced
+    nodez = jnp.arange(Nz, dtype=pfz.dtype)
+    fdz = nodez[None, None, :] / Nz - (pfz / Nz)[:, :, None]
+    fdz = fdz - jnp.round(fdz)                        # (C, cap, Nz)
+
+    dyu = L[1] * fdy
+    dz = L[2] * fdz
+    dx = (L[0] * fdx)[:, :, :, None] + box.tilt_xy * dyu[:, :, None, :]
+    wxy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, :, None, :]))
+    wz = jnp.exp(-expfac * dz * dz) * bins.mask[:, :, None]
+
+    return ColFactors(
+        wxy=wxy.reshape(C, spec.bins.cap, 9 * sx * sy),
+        wz=wz,
+    )
+
+
+def _matmul_dtype(spec: ColFfSpec):
+    if spec.full_precision:
+        return jnp.float32, jax.lax.Precision.HIGHEST
+    return jnp.dtype(spec.weight_dtype), None
+
+
+def _grid_to_windows(grid: jax.Array, spec: ColFfSpec, params: PSEParams):
+    """(3, Nx, Ny, Nz) -> (C, 9·sx·sy, 3·Nz) xy-windows, minor dim Nz."""
+    sx, sy = spec.s
+    ncx, ncy, _ = spec.bins.n_cells
+    g = grid.reshape(3, ncx, sx, ncy, sy, params.Nz)
+    g = g.transpose(1, 2, 3, 4, 0, 5)            # (ncx, sx, ncy, sy, 3, Nz)
+    # V[b, o] = blocks[b + o - 1] per axis (adjoint of the spread fold)
+    gx = jnp.stack([jnp.roll(g, 1 - o, axis=0) for o in range(3)], axis=1)
+    gxy = jnp.stack([jnp.roll(gx, 1 - o, axis=3) for o in range(3)], axis=4)
+    # (ncx, 3ox, sx, ncy, 3oy, sy, 3, Nz)
+    gxy = gxy.transpose(0, 3, 1, 2, 4, 5, 6, 7)
+    return gxy.reshape(ncx * ncy, 9 * sx * sy, 3 * params.Nz)
+
+
+def _windows_to_grid(out: jax.Array, spec: ColFfSpec, params: PSEParams):
+    """(C, 9·sx·sy, 3·Nz) -> (3, Nx, Ny, Nz) overlap-add on x and y."""
+    sx, sy = spec.s
+    ncx, ncy, _ = spec.bins.n_cells
+    out = out.reshape(ncx, ncy, 3, sx, 3, sy, 3, params.Nz)
+
+    def fold(a, o_axis, cell_axis):
+        parts = [jax.lax.index_in_dim(a, o, axis=o_axis, keepdims=False)
+                 for o in range(3)]
+        return sum(
+            jnp.roll(p, o - 1, axis=cell_axis) for o, p in enumerate(parts)
+        )
+
+    out = fold(out, 4, 1)        # oy: (ncx, ncy, 3ox, sx, sy, 3, Nz)
+    out = fold(out, 2, 0)        # ox: (ncx, ncy, sx, sy, 3, Nz)
+    grid = out.transpose(4, 0, 2, 1, 3, 5)       # (3, ncx, sx, ncy, sy, Nz)
+    return grid.reshape(3, params.Nx, params.Ny, params.Nz)
+
+
+def spread_col(
+    bins: CellBins,
+    f_cells: jax.Array,          # (3, C, cap) — padded slots zero
+    box: Box,
+    spec: ColFfSpec,
+    params: PSEParams,
+    factors: ColFactors,
+) -> jax.Array:
+    """Force-moment grid: out = wxyᵀ @ (f ⊗ wz) per column + xy overlap-add."""
+    sx, sy = spec.s
+    C = spec.bins.n_cells_total
+    cap = spec.bins.cap
+    dtype, precision = _matmul_dtype(spec)
+
+    X = (
+        f_cells.transpose(1, 2, 0)[:, :, :, None] * factors.wz[:, :, None, :]
+    ).reshape(C, cap, 3 * params.Nz)
+    out = jnp.einsum(
+        "cpn,cpm->cnm", factors.wxy.astype(dtype), X.astype(dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                            # (C, 9·sx·sy, 3·Nz)
+    out = out * jnp.float32(params.spread_prefac)
+    return _windows_to_grid(out, spec, params)
+
+
+def contract_col(
+    bins: CellBins,
+    grid_real: jax.Array,        # (3, Nx, Ny, Nz)
+    box: Box,
+    spec: ColFfSpec,
+    params: PSEParams,
+    factors: ColFactors,
+) -> jax.Array:
+    """Particle velocities (3, C, cap): exact transpose of spread_col."""
+    C = spec.bins.n_cells_total
+    cap = spec.bins.cap
+    dtype, precision = _matmul_dtype(spec)
+
+    v = _grid_to_windows(grid_real, spec, params)    # (C, 9·sx·sy, 3·Nz)
+    H = jnp.einsum(
+        "cpn,cnm->cpm", factors.wxy.astype(dtype), v.astype(dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                                # (C, cap, 3·Nz)
+    H = H.reshape(C, cap, 3, params.Nz)
+    u = jnp.sum(H * factors.wz[:, :, None, :], axis=3)   # (C, cap, 3)
+    scale = jnp.float32(params.quadW * params.spread_prefac)
+    return scale * u.transpose(2, 0, 1)              # (3, C, cap)

@@ -105,31 +105,23 @@ def sqrt_mreal(
         breakdown = nb < eps_breakdown
         vnext = w / jnp.where(breakdown, 1.0, nb)
 
-        # The T^{1/2}e1 assembly (eigh + basis contraction) only matters once
-        # the warm-started iteration count is reached; skip it before that
-        # (the reference likewise computes its first vel after m_in-1
-        # iterations, Brownian.cu:463-523).
-        def assemble(_):
-            f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
-            vel = jnp.einsum(
-                "m,mf->f", f, V, preferred_element_type=jnp.float32
-            ).astype(dtype)
-            psi_m_psi = alpha[0]
-            stepnorm = jnp.sqrt(
-                _dot(vel - state.vel_old, vel - state.vel_old) / psi_m_psi
-            )
-            return vel, stepnorm
-
-        def skip(_):
-            return state.vel, state.stepnorm
-
-        # Also assemble on basis breakdown, even before the warm-start count:
-        # the loop exits this iteration, and the partial-basis T^{1/2}e1 is
-        # the answer (the reference truncates m and assembles likewise,
-        # Brownian.cu:507-510) — returning the never-assembled zeros would
-        # silently drop the real-space Brownian displacement.
-        vel, stepnorm = jax.lax.cond(
-            (j + 1 >= warm) | breakdown, assemble, skip, None
+        # The T^{1/2}e1 assembly (eigh + basis contraction) runs EVERY
+        # iteration, unconditionally.  It used to sit behind a lax.cond
+        # (skip until the warm-started count, like Brownian.cu:463-523), but
+        # the conditional captured the (m_max, 3N) basis as an operand and
+        # XLA materialized copies: measured ~0.34 ms/iteration of pure cond
+        # overhead plus a doubled dynamic-update-slice — far more than the
+        # ~0.15 ms the small eigh + basis read cost.  The convergence TEST
+        # still honors the warm start (cond() below), so the adaptive-m
+        # semantics are unchanged, breakdown truncation included
+        # (Brownian.cu:507-510).
+        f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
+        vel = jnp.einsum(
+            "m,mf->f", f, V, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        psi_m_psi = alpha[0]
+        stepnorm = jnp.sqrt(
+            _dot(vel - state.vel_old, vel - state.vel_old) / psi_m_psi
         )
 
         return _LanczosState(

@@ -98,3 +98,66 @@ def test_mobility_agrees_through_engines():
     np.testing.assert_allclose(
         np.asarray(u_sep), np.asarray(u_w), atol=5e-5 * scale
     )
+
+
+@pytest.mark.parametrize("tilt", [0.0, 0.3])
+def test_column_farfield_matches_storedw(tilt):
+    """z-column far field (ops/column_farfield.py, production path) vs the
+    stored-W sweep, compared in particle space (different binnings)."""
+    from pse_tpu.cellbins import vec_from_cells
+    from pse_tpu.ops import column_farfield as cff
+
+    pos, params, spec_w, rng = _setup(seed=11)
+    spec_c = cff.make_col_spec(params, pos.shape[0], "float32")
+    assert spec_c is not None
+    L = params.L
+    box = Box(jnp.asarray(L, jnp.float32), jnp.asarray(tilt, jnp.float32))
+    f = rng.normal(size=(pos.shape[0], 3)).astype(np.float32)
+
+    bins_w = bin_particles(jnp.asarray(pos), box, spec_w.bins)
+    fc_w = vec_to_cells(bins_w, spec_w.bins, jnp.asarray(f))
+    W = bff.build_weights(bins_w, box, spec_w, params)
+    g_ref = bff.spread_blocked(bins_w, fc_w, box, spec_w, params, weights=W)
+
+    bins_c = bin_particles(jnp.asarray(pos), box, spec_c.bins)
+    fc_c = vec_to_cells(bins_c, spec_c.bins, jnp.asarray(f))
+    fac = cff.build_col_factors(bins_c, box, spec_c, params)
+    g_col = cff.spread_col(bins_c, fc_c, box, spec_c, params, fac)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(
+        np.asarray(g_col), np.asarray(g_ref), atol=2e-5 * scale
+    )
+
+    gv = jnp.asarray(rng.normal(size=g_ref.shape).astype(np.float32))
+    up_ref = vec_from_cells(
+        bins_w, spec_w.bins,
+        bff.contract_blocked(bins_w, gv, box, spec_w, params, weights=W),
+    )
+    up_col = vec_from_cells(
+        bins_c, spec_c.bins,
+        cff.contract_col(bins_c, gv, box, spec_c, params, fac),
+    )
+    scale = float(jnp.max(jnp.abs(up_ref)))
+    np.testing.assert_allclose(
+        np.asarray(up_col), np.asarray(up_ref), atol=5e-5 * scale
+    )
+
+
+def test_column_is_default_ff_path():
+    """make_config wires the z-column far field for banded/blocked engines."""
+    from pse_tpu import integrator
+
+    pos, params, _, rng = _setup(n=400, L=26.0)
+    cfg = integrator.make_config(params, 400, thermal=False, engine="blocked")
+    assert cfg.colff_spec is not None
+    f = rng.normal(size=(400, 3)).astype(np.float32)
+    u_col, _ = integrator.mobility(cfg, pos, f)
+
+    import dataclasses
+
+    cfg_no = dataclasses.replace(cfg, colff_spec=None)
+    u_sep, _ = integrator.mobility(cfg_no, pos, f)
+    scale = float(jnp.max(jnp.abs(u_sep)))
+    np.testing.assert_allclose(
+        np.asarray(u_col), np.asarray(u_sep), atol=5e-5 * scale
+    )
