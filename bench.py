@@ -122,11 +122,52 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
     }
 
 
+def tpu_correctness_check(rel_tol=2e-3):
+    """Assert the production Mosaic kernels against the independent blocked
+    engine ON THE REAL TPU before any timing — a kernel regression fails
+    the bench, not a human reading tools/trial_banded.py output.
+
+    Small enough (N≈5k) to compile in minutes; large enough that the banded
+    geometry (columns deeper than the window) actually engages.
+    """
+    import jax.numpy as jnp
+    import pse_tpu as pse
+    from pse_tpu import integrator
+    from pse_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    n, L = 5300, 40.0
+    rng = np.random.default_rng(42)
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded")
+    assert cfg_b.engine == "banded", "check config too small for banded"
+    cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked")
+    u_b, _ = integrator.mobility(cfg_b, pos, forces)
+    u_d, _ = integrator.mobility(cfg_d, pos, forces)
+    err = float(
+        jnp.max(jnp.abs(u_b - u_d)) / jnp.max(jnp.abs(u_d))
+    )
+    print(f"# tpu correctness: banded vs blocked rel err {err:.2e} "
+          f"(tol {rel_tol:g})", file=sys.stderr)
+    if not err < rel_tol:
+        raise AssertionError(
+            f"banded kernels disagree with the blocked engine on TPU: "
+            f"rel err {err:.3e} > {rel_tol:g}"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true",
                     help="also sweep xi (each point is a fresh TPU compile)")
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the on-TPU kernel correctness assert")
     args = ap.parse_args()
+
+    if not args.skip_check:
+        tpu_correctness_check()
 
     results = []
     for has_forces in (False, True):

@@ -47,7 +47,6 @@ from .ops import banded_nearfield as bdn
 from .ops import blocked_farfield as bff
 from .ops import blocked_nearfield as bnf
 from .ops import column_farfield as cff
-from .ops import sep_farfield as sff
 from .ops.chebyshev import ChebPair, fit_pair_functions
 
 
@@ -121,23 +120,15 @@ def make_config(
     max_tilt: float | None = None,
     max_neighbors: int | None = None,
     block_dtype: str | None = None,
-    use_pallas: bool | None = None,
     has_forces: bool = True,
     shard_slabs: int = 1,
-    fused_farfield: bool = False,
     ff_weight_dtype: str | None = None,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
     Falls back to the gather engine when the box/grid is too small to block.
-    ``use_pallas`` opts into the fused Pallas near-field matvec kernels;
-    measured slower than the XLA formulation on v5e (see
-    ops/pallas_nearfield.py), so the default stays off.
     """
     from .neighbors import make_spec
-
-    if use_pallas is None:
-        use_pallas = False
 
     if block_dtype is None:
         # bf16 pair blocks deliver ~5e-4 relative accuracy on U = M·F
@@ -163,14 +154,9 @@ def make_config(
 
     nf_spec = ff_spec = cheb = band_spec = None
     if engine == "banded":
-        # Banded near-field (ops/banded_nearfield.py) + blocked far field.
-        # The fused Pallas far field (ops/pallas_farfield.py) is validated
-        # but measured SLOWER at bench scale (its (cell, offset) grid is
-        # ~187k steps of ~2k flops each — per-step overhead dominates);
-        # opt in via fused_farfield until the z-column batched version lands.
+        # Banded near-field (ops/banded_nearfield.py) + z-column far field
+        # (ff_spec kept as the stored-W cross-validation / fallback path).
         ff_spec = bff.make_ff_spec(params, n_particles, ff_weight_dtype)
-        if ff_spec is not None and fused_farfield:
-            ff_spec = ff_spec._replace(fused=True, store_weights=False)
         band_spec = bdn.make_band_spec(
             n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
             block_dtype=block_dtype, ncx_multiple=shard_slabs,
@@ -186,7 +172,7 @@ def make_config(
         ff_spec = bff.make_ff_spec(params, n_particles, ff_weight_dtype)
         nf_spec = bnf.make_nf_spec(
             n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
-            block_dtype=block_dtype, use_pallas=use_pallas,
+            block_dtype=block_dtype,
         )
         if ff_spec is None:
             engine = "gather"
@@ -205,7 +191,7 @@ def make_config(
     # The z-column far field is the production spread/contract wherever its
     # geometry fits; ff_spec stays as the cross-validation / fallback path.
     colff_spec = None
-    if engine in ("banded", "blocked") and ff_spec is not None and not ff_spec.fused:
+    if engine in ("banded", "blocked") and ff_spec is not None:
         colff_spec = cff.make_col_spec(params, n_particles, ff_weight_dtype)
 
     return StepConfig(
@@ -334,16 +320,12 @@ def _ff_bin_spec(config):
 
 def _ff_shared(config, ff_bins, box):
     """Per-step far-field data shared by spread and contract: z-column
-    factors (production), separable factors, or stored-W blocks (legacy)."""
+    factors (production) or stored-W blocks (fallback/cross-check)."""
     if config.colff_spec is not None:
         return cff.build_col_factors(
             ff_bins, box, config.colff_spec, config.params
         )
     spec = config.ff_spec
-    if spec.fused:
-        return None
-    if spec.separable:
-        return sff.build_factors(ff_bins, box, spec, config.params)
     if spec.store_weights:
         return bff.build_weights(ff_bins, box, spec, config.params)
     return None
@@ -359,17 +341,6 @@ def _ff_spread(config, ctx, box, forces):
         )
     spec = config.ff_spec
     f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
-    if spec.fused:
-        from .ops import pallas_farfield as pff
-
-        return pff.spread_fused(
-            ctx.ff_bins, f_cells, box, spec, config.params,
-            interpret=_pallas_interpret(),
-        )
-    if spec.separable:
-        return sff.spread_sep(
-            ctx.ff_bins, f_cells, box, spec, config.params, ctx.ff_weights
-        )
     return bff.spread_blocked(
         ctx.ff_bins, f_cells, box, spec, config.params, weights=ctx.ff_weights
     )
@@ -384,22 +355,10 @@ def _ff_contract(config, ctx, box, grid_v):
         )
         return vec_from_cells(ctx.ff_bins, spec.bins, u_cells)
     spec = config.ff_spec
-    if spec.fused:
-        from .ops import pallas_farfield as pff
-
-        u_cells = pff.contract_fused(
-            ctx.ff_bins, grid_v, box, spec, config.params,
-            interpret=_pallas_interpret(),
-        )
-    elif spec.separable:
-        u_cells = sff.contract_sep(
-            ctx.ff_bins, grid_v, box, spec, config.params, ctx.ff_weights
-        )
-    else:
-        u_cells = bff.contract_blocked(
-            ctx.ff_bins, grid_v, box, spec, config.params,
-            weights=ctx.ff_weights,
-        )
+    u_cells = bff.contract_blocked(
+        ctx.ff_bins, grid_v, box, spec, config.params,
+        weights=ctx.ff_weights,
+    )
     return vec_from_cells(ctx.ff_bins, spec.bins, u_cells)
 
 
@@ -518,19 +477,10 @@ def _engine(config: StepConfig):
         nf_spec = config.nf_spec
         ff_spec = config.ff_spec
 
-        if nf_spec.use_pallas:
-            from .ops.pallas_nearfield import matvec_cells_pallas_rows
-
-            def _nf_matvec(ctx, cells):
-                return matvec_cells_pallas_rows(
-                    ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
-                )
-        else:
-
-            def _nf_matvec(ctx, cells):
-                return bnf.matvec_cells(
-                    ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
-                )
+        def _nf_matvec(ctx, cells):
+            return bnf.matvec_cells(
+                ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
+            )
 
         def mreal_t(ctx, ft):
             cells = ft.reshape(3, nf_spec.bins.n_cells_total, nf_spec.bins.cap)

@@ -55,14 +55,22 @@ from ..cellbins import BinSpec, CellBins, roll_cells
 from .chebyshev import ChebPair, eval_pair_functions
 
 
+N_HALF = 5     # stored offsets: (0,0) + the lexicographically-positive half
+
+
 def full_xy_offsets():
-    """(0,0) first (the self-pair-excluded block), then the 8 neighbors."""
-    offs = [(0, 0)]
-    for ox in (-1, 0, 1):
-        for oy in (-1, 0, 1):
-            if (ox, oy) != (0, 0):
-                offs.append((ox, oy))
-    return tuple(offs)
+    """(0,0) first, then the positive half-stencil, then its mirrors in
+    matching order (offsets[5+i] == -offsets[1+i]).
+
+    The Pallas kernels store/build ONLY the first N_HALF offsets — the
+    mobility pair block between columns c and c+h is symmetric under
+    exchange (M_ji = M_ij: imrr/bco depend on |r| and êêᵀ is even in ê,
+    Mobility.cu:594-687 pair symmetry), so the mirror offsets apply as
+    in-kernel transposes of the stored blocks.  The mirror entries stay in
+    the tuple for the pure-XLA reference matvec and the window tables.
+    """
+    half = [(0, 1), (1, -1), (1, 0), (1, 1)]
+    return tuple([(0, 0)] + half + [(-ox, -oy) for (ox, oy) in half])
 
 
 class BandSpec(NamedTuple):
@@ -458,8 +466,8 @@ def build_banded_blocks(
     n_valid: jax.Array,        # (C,) int32 from compute_windows
     interpret: bool = False,
 ) -> jax.Array:
-    """A (O//3, C, 6, S, 3W) banded pair blocks (offsets grouped in threes
-    along the lane axis), built once per step."""
+    """A (1, C, 6, S, 5W) banded pair blocks — the N_HALF stored offsets
+    side by side on the lane axis — built once per step."""
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -485,7 +493,7 @@ def build_banded_blocks(
     )
     return pl.pallas_call(
         kernel,
-        grid=(O, C),
+        grid=(N_HALF, C),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
@@ -494,59 +502,61 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_ext (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_t (whole)
         ],
-        # Offsets grouped in threes along the lane axis: block (g, c) holds
-        # offsets 3g..3g+2 side by side, so the matvec contracts all three
-        # with ONE (6R, 3W) MXU dot per tile.  Pure index-map regrouping —
-        # each (offset, column) grid step still writes one (6, S, W) block.
+        # Only the half stencil is built (the mirrors are transposes —
+        # full_xy_offsets); the 5 stored offsets sit side by side on the
+        # lane axis so the matvec contracts all of them with ONE
+        # (6R, 5W) MXU dot per tile.
         out_specs=pl.BlockSpec(
-            (1, 1, 6, S, W), lambda o, c: (o // 3, c, 0, 0, o % 3),
+            (1, 1, 6, S, W), lambda o, c: (0, c, 0, 0, o),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (O // 3, C, 6, S, 3 * W), jnp.dtype(spec.block_dtype)
+            (1, C, 6, S, N_HALF * W), jnp.dtype(spec.block_dtype)
         ),
         interpret=interpret,
     )(offsets_arr, n_valid, tilt, j0_flat, posm_ext, posm_t)
 
 
 def _matvec_kernel(
-    offs_ref, nv_ref, j0_ref, a_ref, f_ref, u_ref, acc_ref, *,
-    spec: BandSpec, n_groups: int,
+    offs_ref, nv_ref, j0_ref, a_ref, f_ref, u_ref, u2_ref,
+    acc_ref, acct_ref, *,
+    spec: BandSpec,
 ):
-    """Grid (column, offset-group): the 9 stencil offsets stream as 3 groups
-    of 3 (inner axis), each column's result accumulating in the VMEM scratch
-    and hitting the (3, S, C) transposed output with ONE aligned 128-lane
-    read-modify-write per column.  Rows live on sublanes so per-tile
-    reductions land without relayouts; the caller transposes back and adds
-    the self term.
+    """Grid (column,): ONE streamed read of the N_HALF stored offsets per
+    column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
 
-    Per tile, all three offsets' band products run as ONE (6R, 3W) MXU dot
-    against the concatenated windows (no VPU converts/FMAs/shuffle reduces;
-    the lane contraction sums the offsets for free)."""
+      * forward: u[c] rows += A(c,h) · f(window of c+h) — one (6R, 5W) MXU
+        dot per tile against the concatenated windows;
+      * transposed (the 4 mirror offsets): u[c+h] windows += A(c,h)ᵀ ·
+        f(rows of c), accumulated per target offset in cyclic-rank
+        coordinates in a VMEM scratch, wrap-folded once per column, and
+        written to the (C, 12, S) side output — the caller rolls those
+        onto the right columns in XLA (4 cheap (C,3,S) rolls, instead of
+        12 extra 128-lane read-modify-writes per column here).
+
+    Rows live on sublanes; the forward result hits the (3, S, C) transposed
+    output with one aligned 128-lane RMW per component per column."""
     ncx, ncy, _ = spec.bins.n_cells
     S = spec.bins.cap
     R = spec.rows
     W = spec.window
     T = S // R
+    NT = N_HALF - 1                       # transposed (mirror) offsets
+    SEXT = acct_ref.shape[-1]
+    SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
 
     c = pl.program_id(0)
-    g = pl.program_id(1)
 
-    @pl.when((g == 0) & (c == 0))
+    @pl.when(c == 0)
     def _zero_out():
         u_ref[:] = jnp.zeros_like(u_ref)
 
-    @pl.when(g == 0)
-    def _zero_acc():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acct_ref[:] = jnp.zeros_like(acct_ref)
 
     nbrs = []
     nvs = []
-    for k3 in range(3):
-        o_i = 3 * g + k3
-        ox = offs_ref[o_i, 0]
-        oy = offs_ref[o_i, 1]
-        nbr = _neighbor_column(c, ox, oy, ncx, ncy)
+    for h in range(N_HALF):
+        nbr = _neighbor_column(c, offs_ref[h, 0], offs_ref[h, 1], ncx, ncy)
         nbrs.append(nbr)
         nvs.append(nv_ref[nbr])
     a_dtype = a_ref.dtype
@@ -555,48 +565,91 @@ def _matvec_kernel(
     )
 
     for t in range(T):
-        # A folds the lane-validity mask in at build time, so the window
-        # reads here don't need lane_ok (junk lanes multiply zeros).
-        fw3 = jnp.concatenate([
-            _stacked_window_read(
-                f_ref, nbrs[k3], j0_ref[3 * g + k3, c * T + t], nvs[k3], S, W
-            )
-            for k3 in range(3)
-        ], axis=1)                                             # (3, 3W)
         sl = slice(t * R, (t + 1) * R)
-        a_stack = a_ref[0, 0, :, sl, :].reshape(6 * R, 3 * W)  # (6R, 3W)
+        # --- forward: A folds the lane-validity mask in at build time, so
+        # the window reads don't need lane_ok (junk lanes multiply zeros).
+        j0_self = j0_ref[0, c * T + t]
+        windows = [
+            _stacked_window_read(
+                f_ref, nbrs[h], j0_ref[h, c * T + t], nvs[h], S, W
+            )
+            for h in range(N_HALF)
+        ]
+        fw = jnp.concatenate(windows, axis=1)                  # (3, 5W)
+        a_stack = a_ref[0, 0, :, sl, :].reshape(6 * R, N_HALF * W)
         res = jax.lax.dot_general(
-            a_stack, fw3.astype(a_dtype),
+            a_stack, fw.astype(a_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
         )                                                      # (6R, 3)
-        # all (component k, force column c) pairs accumulate raw; the
-        # symmetric combine happens once per column at flush (doing it per
-        # tile costs 15 single-vreg ops x T tiles of pure op overhead)
-        acc_ref[:, sl, :] += res.reshape(6, R, 3)
+        # all (component k, force column) pairs accumulate raw; the
+        # symmetric combine happens once per column at flush
+        acc_ref[:, sl, :] = res.reshape(6, R, 3)
 
-    @pl.when(g == n_groups - 1)
-    def _flush():
-        # u_x = xx·fx + xy·fy + xz·fz etc: pick (component, force) pairs
-        # from the raw accumulator, then one aligned 128-lane RMW per comp
-        # (lane stores must be 128-aligned: rotate the (S, 1) column result
-        # to lane c - a of a zero stripe first).
-        SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
-        a = pl.multiple_of(c // 128 * 128, 128)
-        for r in range(3):
-            col = (
-                acc_ref[SYM[r][0], :, 0:1]
-                + acc_ref[SYM[r][1], :, 1:2]
-                + acc_ref[SYM[r][2], :, 2:3]
-            )                                                  # (S, 1)
-            placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
-            u_ref[r, :, pl.ds(a, 128)] += placed
+        # --- transposed: uT(w) = Σ_r A(r, w)·f_own(r) for the 4 non-self
+        # offsets at once (lanes [W, 5W)), per component pair.  The own
+        # rows [tR, tR+R) sit inside the (0,0) window (the band always
+        # covers its own tile), so extract them with a dynamic lane rotate
+        # of the already-read window — Mosaic rejects both unaligned lane
+        # loads and dynamic sublane loads from f_ref directly.  On a
+        # seam-wrapped band (j0 > tR) the own rows live at CYCLIC position
+        # tR + nv - j0.  Pad rows pick up junk, but their A rows are zero
+        # (mask folded at build), so the transposed products drop them.
+        off = jnp.where(
+            j0_self > t * R, t * R + nvs[0] - j0_self, t * R - j0_self
+        )
+        f_own = pltpu.roll(windows[0], -off, 1)[:, :R]
+        res_t = [
+            jax.lax.dot_general(
+                f_own.astype(a_dtype), a_ref[0, 0, k, sl, W:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )                                                  # (3, 4W)
+            for k in range(6)
+        ]
+        ut = jnp.concatenate([
+            res_t[SYM[r][0]][0:1] + res_t[SYM[r][1]][1:2]
+            + res_t[SYM[r][2]][2:3]
+            for r in range(3)
+        ], axis=0)                                             # (3, 4W)
+        for h in range(NT):
+            j0 = j0_ref[1 + h, c * T + t]
+            a = pl.multiple_of(j0 // 128 * 128, 128)
+            w = jnp.pad(ut[:, h * W:(h + 1) * W], ((0, 0), (0, 128)))
+            acct_ref[h, :, pl.ds(a, W + 128)] += pltpu.roll(w, j0 - a, 1)
+
+    # --- flush: forward combine + one aligned 128-lane RMW per component
+    a = pl.multiple_of(c // 128 * 128, 128)
+    for r in range(3):
+        col = (
+            acc_ref[SYM[r][0], :, 0:1]
+            + acc_ref[SYM[r][1], :, 1:2]
+            + acc_ref[SYM[r][2], :, 2:3]
+        )                                                      # (S, 1)
+        placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
+        u_ref[r, :, pl.ds(a, 128)] += placed
+
+    # transposed fold: cyclic ranks -> slots.  Ranks < nv are slots; ranks
+    # in [nv, nv+W) wrap to slots [0, W).  Positions >= nv of the head hold
+    # wrap-rank data (re-added by the tail fold), so they are masked out.
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    for h in range(NT):
+        nv = nvs[1 + h]
+        a2 = pl.multiple_of(nv // 128 * 128, 128)
+        head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
+        tail_w = pltpu.roll(
+            acct_ref[h, :, pl.ds(a2, W + 128)], a2 - nv, 1
+        )[:, :W]
+        u2_ref[0, h * 3:(h + 1) * 3, :] = (
+            head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
+        )
 
 
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret"))
 def matvec_banded(
-    blocks: jax.Array,         # (O//3, C, 6, S, 3W) from build_banded_blocks
+    blocks: jax.Array,         # (1, C, 6, S, 5W) from build_banded_blocks
     j0: jax.Array,             # (O, C, T) int32
     n_valid: jax.Array,        # (C,) int32
     spec: BandSpec,
@@ -604,7 +657,8 @@ def matvec_banded(
     self_mobility,
     interpret: bool = False,
 ) -> jax.Array:
-    """u = M_real · f in column layout: one streamed read of the band."""
+    """u = M_real · f in column layout: one streamed read of the half band,
+    applied forward and transposed (the mirror offsets)."""
     O = len(spec.offsets)
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
@@ -614,28 +668,51 @@ def matvec_banded(
     f_ext = extend_slots(f_cells, spec)
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     c_pad = -(-C // 128) * 128                # aligned lane stores
+    sext = -(-(S + W + 128) // 128) * 128     # cyclic-rank scratch extent
 
     j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
-    kernel = partial(_matvec_kernel, spec=spec, n_groups=O // 3)
-    u_t = pl.pallas_call(
+    kernel = partial(_matvec_kernel, spec=spec)
+    u_t, u2 = pl.pallas_call(
         kernel,
-        grid=(C, O // 3),                                 # offset groups inner:
-        in_specs=[                                        # column acc stays
+        grid=(C,),
+        in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec((1, 1, 6, S, 3 * W), lambda c, g: (g, c, 0, 0, 0),
+            pl.BlockSpec((1, 1, 6, S, N_HALF * W), lambda c: (0, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # f_ext (whole)
         ],
-        out_specs=pl.BlockSpec(
-            (3, S, c_pad), lambda c, o: (0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((6, S, 3), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec(
+                (3, S, c_pad), lambda c: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3 * (N_HALF - 1), S), lambda c: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * (N_HALF - 1), S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, S, 3), jnp.float32),
+            pltpu.VMEM((N_HALF - 1, 3, sext), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(offsets_arr, n_valid, j0_flat, blocks, f_ext)
-    return u_t[:, :, :C].transpose(0, 2, 1) + self_mobility * f_cells
+
+    u = u_t[:, :, :C].transpose(0, 2, 1)                # (3, C, S) forward
+    # Mirror contributions: u2[c] holds what column c's blocks contribute
+    # to column c+h — roll each onto its target (u[c'] += u2[c'-h]).
+    u2 = u2.reshape(C, N_HALF - 1, 3, S)
+    for h in range(N_HALF - 1):
+        ox, oy = spec.offsets[1 + h]
+        u = u + jnp.moveaxis(
+            roll_cells(u2[:, h], spec.bins, (-ox, -oy, 0)), 1, 0
+        )
+    return u + self_mobility * f_cells

@@ -42,11 +42,8 @@ class FfSpec(NamedTuple):
     offsets: tuple          # full stencil (reach 1)
     store_weights: bool = True   # build W once per step, share spread/contract
     full_precision: bool = False  # f32 MXU passes for the W contractions
-    fused: bool = False          # Pallas fused spread/contract (no stored W)
     weight_dtype: str = "float32"  # stored-W dtype (bf16 on TPU when the
                                    # default-precision MXU rounds there anyway)
-    separable: bool = True       # separable-factor path (ops/sep_farfield.py)
-                                 # — no stored W; False = stored-W einsum
 
 
 def _axis_divisors(n_grid: int, p: int):

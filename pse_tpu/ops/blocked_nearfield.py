@@ -38,7 +38,6 @@ class NfSpec(NamedTuple):
     bins: BinSpec
     offsets: tuple          # half-space stencil offsets, (0,0,0) first
     block_dtype: str = "float32"   # storage dtype for the pair blocks
-    use_pallas: bool = False       # fused single-read Pallas matvec kernel
 
 
 # Pair blocks are stored as ONE stacked array (noff, 6, C, cap, cap); axis 1
@@ -53,7 +52,6 @@ def make_nf_spec(
     max_tilt: float = 0.5,
     target_cap: int = 128,
     block_dtype: str = "float32",
-    use_pallas: bool = False,
 ) -> NfSpec:
     """Choose cell counts / capacity.
 
@@ -90,7 +88,6 @@ def make_nf_spec(
         bins=BinSpec(n_cells=n_cells, cap=cap),
         offsets=half_space_offsets(1),
         block_dtype=block_dtype,
-        use_pallas=use_pallas,
     )
 
 

@@ -5,7 +5,8 @@ predecessors, both measured on v5e:
 
   * stored-W einsum (ops/blocked_farfield.py): W = (27, C, cap, s³) GBs of
     HBM traffic + N=3 GEMV contractions;
-  * separable extended-window (ops/sep_farfield.py): right flop count, but
+  * separable extended-window (ops/sep_farfield.py, removed — git history):
+    right flop count, but
     its 3-D overlap-add/gather intermediates have tiny (4..12) minor dims
     that tile-pad 10-30×, and the measured contract was slower than the
     stored-W path it replaced.
@@ -29,7 +30,7 @@ the grid along x and y only (3×3 rolls of arrays whose minor dim is Nz).
 Reference semantics: gpu_stokes_Spread_kernel / gpu_stokes_Contract_kernel
 (Mobility.cu:114-252, 325-477) — same Gaussian, same prefac/quadW scales,
 same xy tilt handling (the xy factor is joint because tilt mixes x into y).
-Cross-validated against the stored-W sweep in tests/test_sep_farfield.py.
+Cross-validated against the stored-W sweep in tests/test_farfield_paths.py.
 """
 
 from __future__ import annotations

@@ -69,16 +69,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     """
     if config.engine != "banded":
         raise ValueError("halo engine requires the banded near-field")
-    # The far field stays GSPMD-global: Pallas kernels don't auto-partition
-    # under GSPMD, so the halo config keeps the einsum (stored-W) far field
-    # — only the near field runs shard_map'd Pallas (per-shard arrays).
-    import dataclasses
-
-    if config.ff_spec.fused:
-        config = dataclasses.replace(
-            config,
-            ff_spec=config.ff_spec._replace(fused=False, store_weights=True),
-        )
+    # The far field stays GSPMD-global (pure-XLA z-column path); only the
+    # near field runs shard_map'd Pallas with per-shard arrays.
     bs = config.band_spec
     p = config.params
     ncx, ncy, _ = bs.bins.n_cells
@@ -172,13 +164,9 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
 
     def prepare(config_, pos, box):
         nf_bins = bin_columns(pos, box, bs.bins)
-        ff_bins = bin_particles(pos, box, config.ff_spec.bins)
+        ff_bins = bin_particles(pos, box, integrator._ff_bin_spec(config))
         blocks_e, j0e, nve, ovf = _local_prepare_call(nf_bins, box.tilt_xy)
-        ff_weights = (
-            bff.build_weights(ff_bins, box, config.ff_spec, p)
-            if config.ff_spec.store_weights
-            else None
-        )
+        ff_weights = integrator._ff_shared(config, ff_bins, box)
         overflow = nf_bins.overflow | ff_bins.overflow | jnp.any(ovf)
         return (
             _HaloCtx(nf_bins, ff_bins, j0e, nve, blocks_e, ff_weights,

@@ -164,67 +164,6 @@ def test_cellbins_roundtrip():
     assert int(np.asarray(bins.mask).sum()) == n
 
 
-def test_pallas_matvec_matches_xla():
-    """Fused Pallas near-field kernel (interpret mode) == XLA formulation."""
-    from pse_tpu.cellbins import bin_particles, vec_to_cells
-    from pse_tpu.ops import blocked_nearfield as bnf
-    from pse_tpu.ops.pallas_nearfield import matvec_cells_pallas
-
-    rng = np.random.default_rng(11)
-    n, L = 200, 25.0
-    params = pse.make_params(xi=0.5, error=1e-3, L=L)
-    cfg = integrator.make_config(
-        params, n, thermal=False, engine="blocked",
-        use_pallas=False, block_dtype="float32",
-    )
-    box = pse.make_box(L, 0.2)
-    pos = jnp.asarray(rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32))
-    pos, _ = pse.box.wrap(box, pos, jnp.zeros((n, 3), jnp.int32))
-    F = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-    bins = bin_particles(pos, box, cfg.nf_spec.bins)
-    assert not bool(bins.overflow)
-    blocks = bnf.build_pair_blocks(
-        bins, box, cfg.nf_spec, cfg.cheb, params.ewald_cut, params.ewald_dr
-    )
-    fc = vec_to_cells(bins, cfg.nf_spec.bins, F)
-    u_xla = bnf.matvec_cells(blocks, cfg.nf_spec, bins, fc, params.self_mobility)
-    u_pal = matvec_cells_pallas(
-        blocks, cfg.nf_spec, bins, fc, params.self_mobility, interpret=True
-    )
-    np.testing.assert_allclose(
-        np.asarray(u_pal), np.asarray(u_xla), atol=2e-6
-    )
-
-
-def test_pallas_rows_matvec_matches_xla():
-    """Row-batched Pallas kernel (interpret mode) == XLA formulation."""
-    from pse_tpu.cellbins import bin_particles, vec_to_cells
-    from pse_tpu.ops import blocked_nearfield as bnf
-    from pse_tpu.ops.pallas_nearfield import matvec_cells_pallas_rows
-
-    rng = np.random.default_rng(12)
-    n, L = 220, 25.0
-    params = pse.make_params(xi=0.5, error=1e-3, L=L)
-    cfg = integrator.make_config(
-        params, n, thermal=False, engine="blocked",
-        use_pallas=False, block_dtype="float32",
-    )
-    box = pse.make_box(L, -0.15)
-    pos = jnp.asarray(rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32))
-    pos, _ = pse.box.wrap(box, pos, jnp.zeros((n, 3), jnp.int32))
-    F = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-    bins = bin_particles(pos, box, cfg.nf_spec.bins)
-    blocks = bnf.build_pair_blocks(
-        bins, box, cfg.nf_spec, cfg.cheb, params.ewald_cut, params.ewald_dr
-    )
-    fc = vec_to_cells(bins, cfg.nf_spec.bins, F)
-    u_xla = bnf.matvec_cells(blocks, cfg.nf_spec, bins, fc, params.self_mobility)
-    u_v2 = matvec_cells_pallas_rows(
-        blocks, cfg.nf_spec, bins, fc, params.self_mobility, interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(u_v2), np.asarray(u_xla), atol=2e-6)
-
-
 def test_no_forces_path_matches_zero_forces():
     """The static has_forces=False step (skips det spread/FFT/matvec) must
     reproduce the full step with zero forces."""

@@ -7,15 +7,15 @@ column layer of forces per matvec over ICI.
 
 On real multi-chip hardware this script runs as-is; in this environment it
 demonstrates the decomposition on the 8-virtual-CPU-device mesh, where the
-banded engine runs its pure-XLA reference path.  NOTE: all 8 virtual
-devices share one host's RAM, and the reference path's window gathers need
-~200 GB at N=1M — beyond this host's 125 GB (measured: killed at 115 GB).
-N=250k (~85 GB peak, ran green in ~36 min compile-dominated) is the
-practical single-host ceiling; the 1M banded-block memory math this script
-prints (the quantity that actually gates real 8-chip hardware,
-~2 GiB/device) holds regardless.
+banded engine runs its pure-XLA reference path.  All 8 virtual devices
+share one host's RAM; the reference matvec processes window tiles in
+z-chunks (banded_nearfield.matvec_banded_reference) precisely so the full
+N=1M case fits — U = M·F at N=1,000,000 runs green on this 125 GB host
+(compile-dominated, ~1 h).  The banded-block memory math this script
+prints (~2 GiB/device on 8 real chips) is the quantity that gates real
+hardware.
 
-Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/run_1m.py --n 250000
+Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/run_1m.py --n 1000000
 """
 
 import argparse
