@@ -121,10 +121,14 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     )
     cid = (cxyz[:, 0] * ncy + cxyz[:, 1]) * ncz + cxyz[:, 2]
 
-    # Rank within cell via sort + segment offsets (deterministic).
-    order = jnp.argsort(cid).astype(jnp.int32)
-    sorted_cid = cid[order]
+    # Rank within cell via sort + segment offsets (deterministic: arange is
+    # the tie-break key).  Positions ride the sort as payloads — a separate
+    # pos[order]/cid[order] gather measured ~0.8 ms at N=100k (XLA random
+    # gathers serialize), while sort payload moves are vectorized.
     arange = jnp.arange(n, dtype=jnp.int32)
+    sorted_cid, order, sx, sy, sz = jax.lax.sort(
+        (cid, arange, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=2
+    )
     is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
     seg_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
     rank_sorted = arange - seg_start
@@ -133,7 +137,8 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
 
     rank_of = _invert_perm_payload(order, rank_sorted)
     px, py, pz, mask, pid = _scatter_fields(
-        pos[order], order, sorted_cid, rank_clip, c_total, cap
+        jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
+        c_total, cap,
     )
 
     return CellBins(
@@ -167,10 +172,11 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     cy = jnp.clip((frac[:, 1] * ncy).astype(jnp.int32), 0, ncy - 1)
     cid = cx * ncy + cy
 
-    # Lexicographic sort by (column, z): stable two-key device sort.
+    # Lexicographic sort by (column, z, id): deterministic three-key device
+    # sort; x/y positions ride as payloads (see bin_particles).
     arange = jnp.arange(n, dtype=jnp.int32)
-    sorted_cid, _, order = jax.lax.sort(
-        (cid, pos[:, 2], arange), num_keys=2
+    sorted_cid, sz, order, sx, sy = jax.lax.sort(
+        (cid, pos[:, 2], arange, pos[:, 0], pos[:, 1]), num_keys=3
     )
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
@@ -182,7 +188,8 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
 
     rank_of = _invert_perm_payload(order, rank_sorted)
     px, py, pz, mask, pid = _scatter_fields(
-        pos[order], order, sorted_cid, rank_clip, c_total, cap
+        jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
+        c_total, cap,
     )
 
     return CellBins(

@@ -194,13 +194,35 @@ def compute_windows(
 
 def extend_slots(arr: jax.Array, spec: BandSpec) -> jax.Array:
     """(..., C, S) -> (..., C, S + W + 128): append wrap copies of slots
-    [0, W + 128).  The extra 128 covers the 128-aligned wide reads the
-    kernels use (Mosaic requires lane-dim loads at multiples of 128; the
-    kernels read [align(start), align(start) + W + 128) and rotate)."""
+    [0, W + 128).  Used by the pure-XLA reference matvec; the Pallas
+    kernels instead fold the wrap in-kernel (one cyclic prefold per
+    column, see _cyclic_prefold) and take plain zero-padded inputs."""
     pad = spec.window + 128
     reps = -(-pad // arr.shape[-1])
     tail = jnp.concatenate([arr] * reps, axis=-1)[..., :pad] if reps > 1 else arr[..., :pad]
     return jnp.concatenate([arr, tail], axis=-1)
+
+
+def _sext_of(spec: BandSpec) -> int:
+    """Lane extent of the kernels' cyclic-window arrays: room for a
+    128-aligned (W + 128)-wide read starting at any j0 < cap, rounded to
+    the 128-lane tile."""
+    return -(-(spec.bins.cap + spec.window + 128) // 128) * 128
+
+
+def _cyclic_prefold(col, nv, sext):
+    """(K, SEXT) slot array -> cyclic-rank array, once per (column, offset).
+
+    Position k < nv keeps slot k; positions [nv, 2nv) get the seam wrap
+    (slot k - nv) with ONE select + roll.  Beyond 2nv the values are junk,
+    but the kernels' window contract only reads lanes whose A entries are
+    non-zero, and A lanes >= nv are masked at build time — so a single
+    wrap level is always sufficient (windows are j0 < nv plus < nv valid
+    lanes).  This replaces the old two-read-two-roll seam stitch that ran
+    PER TILE (_stacked_window_read) with per-column work.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, sext), 1)
+    return jnp.where(iota < nv, col, pltpu.roll(col, nv, 1))
 
 
 def _neighbor_column(c, ox, oy, ncx, ncy):
@@ -256,22 +278,6 @@ def _pair_components(
         bco * ey * ez,
         imrr + bco * ez * ez,
     )
-
-
-def _stacked_window_read(ref, col, j0, nv, S, W):
-    """All leading components of ``ref`` (K, C, S_ext) windowed at once:
-    one aligned wide read + one dynamic lane rotate per (main, wrap) slice
-    instead of one per component.  Returns (K, W)."""
-    K = ref.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    use_main = (j0 + iota) < nv
-
-    def rot_read(start):
-        a = pl.multiple_of(start // 128 * 128, 128)
-        wide = ref[:, pl.ds(col, 1), pl.ds(a, W + 128)].reshape(K, W + 128)
-        return pltpu.roll(wide, a - start, 1)[:, :W]
-
-    return jnp.where(use_main, rot_read(j0), rot_read(S + j0 - nv))
 
 
 @partial(
@@ -393,7 +399,8 @@ def matvec_banded_reference(
 
 
 def _build_kernel(
-    offs_ref, nv_ref, tilt_ref, j0_ref, posm_ref, posm_t_ref, a_ref, *,
+    offs_ref, nv_ref, tilt_ref, j0_ref, posm_ref, posm_t_ref, a_ref,
+    pcyc_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2,
 ):
     ncx, ncy, _ = spec.bins.n_cells
@@ -401,6 +408,7 @@ def _build_kernel(
     R = spec.rows
     W = spec.window
     T = S // R
+    SEXT = pcyc_ref.shape[-1]
     dtype = jnp.dtype(spec.block_dtype)
 
     o_i = pl.program_id(0)
@@ -410,6 +418,11 @@ def _build_kernel(
     tilt = tilt_ref[0]
     nbr = _neighbor_column(c, ox, oy, ncx, ncy)
     nv = nv_ref[nbr]
+    # Cyclic prefold of the neighbor column's (x, y, z, mask): one select +
+    # roll per grid step instead of a two-read seam stitch per tile.
+    pcyc_ref[:] = _cyclic_prefold(
+        posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT
+    )
 
     # Own column with rows on sublanes, from the pre-transposed lane-padded
     # copy (avoids in-kernel lane->sublane relayouts).  Lane loads must be
@@ -431,7 +444,10 @@ def _build_kernel(
     for t in range(T):
         j0 = j0_ref[o_i, c * T + t]
         sl = slice(t * R, (t + 1) * R)
-        win = _stacked_window_read(posm_ref, nbr, j0, nv, S, W)   # (4, W)
+        a0 = pl.multiple_of(j0 // 128 * 128, 128)
+        win = pltpu.roll(
+            pcyc_ref[:, pl.ds(a0, W + 128)], a0 - j0, 1
+        )[:, :W]                                                  # (4, W)
         xj, yj, zj, mj = (win[k:k + 1] for k in range(4))
         use_main = (j0 + iota_w) < nv
         lane_ok = iota_w < nv
@@ -475,7 +491,8 @@ def build_banded_blocks(
     O = len(spec.offsets)
 
     posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
-    posm_ext = extend_slots(posm, spec)                   # (4, C, S + W + 128)
+    sext = _sext_of(spec)
+    posm_pad = jnp.pad(posm, ((0, 0), (0, 0), (0, sext - S)))
     posm_t = posm.transpose(0, 2, 1)                      # (4, S, C) row tiles
     c_pad = -(-C // 128) * 128                            # aligned lane reads
     posm_t = jnp.pad(posm_t, ((0, 0), (0, 0), (0, c_pad - C)))
@@ -499,7 +516,7 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_ext (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_t (whole)
         ],
         # Only the half stencil is built (the mirrors are transposes —
@@ -513,13 +530,15 @@ def build_banded_blocks(
         out_shape=jax.ShapeDtypeStruct(
             (1, C, 6, S, N_HALF * W), jnp.dtype(spec.block_dtype)
         ),
+        scratch_shapes=[pltpu.VMEM((4, sext), jnp.float32)],
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0_flat, posm_ext, posm_t)
+    )(offsets_arr, n_valid, tilt, j0_flat, posm_pad, posm_t)
 
 
 def _matvec_kernel(
-    offs_ref, nv_ref, j0_ref, a_ref, f_ref, u_ref, u2_ref,
-    acc_ref, acct_ref, *,
+    offs_ref, nv_ref, j0_ref, a_ref, f_ref,
+    u_ref, u2a_ref, u2b_ref, u2c_ref, u2d_ref,
+    acc_ref, acct_ref, fcyc_ref, *,
     spec: BandSpec,
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
@@ -564,19 +583,28 @@ def _matvec_kernel(
         jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
     )
 
+    # One cyclic prefold per (column, offset): window reads below become a
+    # single aligned read + roll per tile instead of a two-read seam stitch.
+    for h in range(N_HALF):
+        fcol = f_ref[:, pl.ds(nbrs[h], 1), :].reshape(3, SEXT)
+        fcyc_ref[h] = _cyclic_prefold(fcol, nvs[h], SEXT)
+
     for t in range(T):
         sl = slice(t * R, (t + 1) * R)
         # --- forward: A folds the lane-validity mask in at build time, so
         # the window reads don't need lane_ok (junk lanes multiply zeros).
-        j0_self = j0_ref[0, c * T + t]
-        windows = [
-            _stacked_window_read(
-                f_ref, nbrs[h], j0_ref[h, c * T + t], nvs[h], S, W
-            )
-            for h in range(N_HALF)
-        ]
+        windows = []
+        for h in range(N_HALF):
+            j0h = j0_ref[h, c * T + t]
+            a0 = pl.multiple_of(j0h // 128 * 128, 128)
+            wide = fcyc_ref[h, :, pl.ds(a0, W + 128)]
+            windows.append(pltpu.roll(wide, a0 - j0h, 1)[:, :W])
         fw = jnp.concatenate(windows, axis=1)                  # (3, 5W)
-        a_stack = a_ref[0, 0, :, sl, :].reshape(6 * R, N_HALF * W)
+        # ONE VMEM read of the A tile, shared by the forward dot and the
+        # per-component transposed dots below (a second ref read per
+        # component would double the VMEM->VREG traffic of the stream).
+        a_tile = a_ref[0, 0, :, sl, :]                         # (6, R, 5W)
+        a_stack = a_tile.reshape(6 * R, N_HALF * W)
         res = jax.lax.dot_general(
             a_stack, fw.astype(a_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -589,20 +617,14 @@ def _matvec_kernel(
 
         # --- transposed: uT(w) = Σ_r A(r, w)·f_own(r) for the 4 non-self
         # offsets at once (lanes [W, 5W)), per component pair.  The own
-        # rows [tR, tR+R) sit inside the (0,0) window (the band always
-        # covers its own tile), so extract them with a dynamic lane rotate
-        # of the already-read window — Mosaic rejects both unaligned lane
-        # loads and dynamic sublane loads from f_ref directly.  On a
-        # seam-wrapped band (j0 > tR) the own rows live at CYCLIC position
-        # tR + nv - j0.  Pad rows pick up junk, but their A rows are zero
-        # (mask folded at build), so the transposed products drop them.
-        off = jnp.where(
-            j0_self > t * R, t * R + nvs[0] - j0_self, t * R - j0_self
-        )
-        f_own = pltpu.roll(windows[0], -off, 1)[:, :R]
+        # rows are a STATIC lane slice of the own column's cyclic array
+        # (slot k == cyclic position k for k < nv; pad rows pick up wrap
+        # junk, but their A rows are zero — mask folded at build — so the
+        # transposed products drop them).
+        f_own = fcyc_ref[0, :, t * R:(t + 1) * R]
         res_t = [
             jax.lax.dot_general(
-                f_own.astype(a_dtype), a_ref[0, 0, k, sl, W:],
+                f_own.astype(a_dtype), a_tile[k, :, W:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
@@ -634,17 +656,18 @@ def _matvec_kernel(
     # transposed fold: cyclic ranks -> slots.  Ranks < nv are slots; ranks
     # in [nv, nv+W) wrap to slots [0, W).  Positions >= nv of the head hold
     # wrap-rank data (re-added by the tail fold), so they are masked out.
+    # Each offset's result goes to its own output, whose index_map already
+    # points at the TARGET column c+h — the caller adds the four outputs
+    # elementwise (no XLA cell rolls).
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    for h in range(NT):
+    for h, u2_ref in enumerate((u2a_ref, u2b_ref, u2c_ref, u2d_ref)):
         nv = nvs[1 + h]
         a2 = pl.multiple_of(nv // 128 * 128, 128)
         head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
         tail_w = pltpu.roll(
             acct_ref[h, :, pl.ds(a2, W + 128)], a2 - nv, 1
         )[:, :W]
-        u2_ref[0, h * 3:(h + 1) * 3, :] = (
-            head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
-        )
+        u2_ref[0] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 
 
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret"))
@@ -665,14 +688,30 @@ def matvec_banded(
     S = spec.bins.cap
     W = spec.window
     f_cells = f_cells.astype(jnp.float32)
-    f_ext = extend_slots(f_cells, spec)
+    sext = _sext_of(spec)                     # cyclic-window lane extent
+    f_pad = jnp.pad(f_cells, ((0, 0), (0, 0), (0, sext - S)))
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     c_pad = -(-C // 128) * 128                # aligned lane stores
-    sext = -(-(S + W + 128) // 128) * 128     # cyclic-rank scratch extent
 
     j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
     kernel = partial(_matvec_kernel, spec=spec)
-    u_t, u2 = pl.pallas_call(
+
+    def mirror_map(h):
+        # Mirror offset h's output block for grid column c IS its target
+        # column c + offsets[1+h]: the "roll onto the right column" happens
+        # in the output index map, not as XLA cell rolls afterwards.
+        ox, oy = spec.offsets[1 + h]
+
+        def imap(c, ox=ox, oy=oy):
+            cx = jax.lax.div(c, ncy)
+            cy = jax.lax.rem(c, ncy)
+            tx = jax.lax.rem(cx + ox + ncx, ncx)
+            ty = jax.lax.rem(cy + oy + ncy, ncy)
+            return (tx * ncy + ty, 0, 0)
+
+        return imap
+
+    u_t, u2a, u2b, u2c, u2d = pl.pallas_call(
         kernel,
         grid=(C,),
         in_specs=[
@@ -681,38 +720,34 @@ def matvec_banded(
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
             pl.BlockSpec((1, 1, 6, S, N_HALF * W), lambda c: (0, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_ext (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
         ],
         out_specs=[
             pl.BlockSpec(
                 (3, S, c_pad), lambda c: (0, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, 3 * (N_HALF - 1), S), lambda c: (c, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        ] + [
+            # Column axis LEADING so the block's minor dims (3, S) equal the
+            # array dims — the Mosaic (8, 128) block-divisibility rule only
+            # exempts full dimensions.
+            pl.BlockSpec((1, 3, S), mirror_map(h), memory_space=pltpu.VMEM)
+            for h in range(N_HALF - 1)
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((C, 3 * (N_HALF - 1), S), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32)] + [
+            jax.ShapeDtypeStruct((C, 3, S), jnp.float32)
+            for _ in range(N_HALF - 1)
         ],
         scratch_shapes=[
             pltpu.VMEM((6, S, 3), jnp.float32),
             pltpu.VMEM((N_HALF - 1, 3, sext), jnp.float32),
+            pltpu.VMEM((N_HALF, 3, sext), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, j0_flat, blocks, f_ext)
+    )(offsets_arr, n_valid, j0_flat, blocks, f_pad)
 
     u = u_t[:, :, :C].transpose(0, 2, 1)                # (3, C, S) forward
-    # Mirror contributions: u2[c] holds what column c's blocks contribute
-    # to column c+h — roll each onto its target (u[c'] += u2[c'-h]).
-    u2 = u2.reshape(C, N_HALF - 1, 3, S)
-    for h in range(N_HALF - 1):
-        ox, oy = spec.offsets[1 + h]
-        u = u + jnp.moveaxis(
-            roll_cells(u2[:, h], spec.bins, (-ox, -oy, 0)), 1, 0
-        )
-    return u + self_mobility * f_cells
+    u2 = (u2a + u2b + u2c + u2d).transpose(1, 0, 2)     # (C, 3, S) -> (3, C, S)
+    return u + u2 + self_mobility * f_cells
