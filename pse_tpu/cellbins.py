@@ -159,6 +159,13 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     blocks can store only that band instead of dense (cap x cap) tiles.
 
     Padded slots sort last (z key = +inf) and have mask 0 / pid N / pos 0.
+
+    Stored positions are CANONICALIZED: each particle's binning image
+    (kx·a1 + ky·a2 + kz·a3 lattice vectors) is subtracted, so every stored
+    coordinate lies in the primary tilted cell and agrees with its column
+    index.  The banded kernels' scalar-shift minimum image (no per-pair
+    rounds) and the z-sorted band contract both rely on this; callers may
+    pass positions that are wrapped only approximately (or not at all).
     """
     n = pos.shape[0]
     ncx, ncy, ncz = spec.n_cells
@@ -166,8 +173,13 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     cap = spec.cap
     c_total = ncx * ncy
 
+    L = box.L
     frac = make_fraction(box, pos)
-    frac = frac - jnp.floor(frac)
+    k = jnp.floor(frac)
+    frac = frac - k
+    x_c = pos[:, 0] - k[:, 0] * L[0] - k[:, 1] * box.tilt_xy * L[1]
+    y_c = pos[:, 1] - k[:, 1] * L[1]
+    z_c = pos[:, 2] - k[:, 2] * L[2]
     cx = jnp.clip((frac[:, 0] * ncx).astype(jnp.int32), 0, ncx - 1)
     cy = jnp.clip((frac[:, 1] * ncy).astype(jnp.int32), 0, ncy - 1)
     cid = cx * ncy + cy
@@ -176,7 +188,7 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     # sort; x/y positions ride as payloads (see bin_particles).
     arange = jnp.arange(n, dtype=jnp.int32)
     sorted_cid, sz, order, sx, sy = jax.lax.sort(
-        (cid, pos[:, 2], arange, pos[:, 0], pos[:, 1]), num_keys=3
+        (cid, z_c, arange, x_c, y_c), num_keys=3
     )
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]

@@ -166,7 +166,8 @@ def make_config(
             ff_spec = band_spec = None
         else:
             cheb = fit_pair_functions(
-                params.xi, params.ewald_dr, params.ewald_cut, params.radius
+                params.xi, params.ewald_dr, params.ewald_cut, params.radius,
+                tol=_cheb_tol(block_dtype),
             )
     if engine == "blocked":
         ff_spec = bff.make_ff_spec(params, n_particles, ff_weight_dtype)
@@ -179,7 +180,8 @@ def make_config(
             nf_spec = None
         else:
             cheb = fit_pair_functions(
-                params.xi, params.ewald_dr, params.ewald_cut, params.radius
+                params.xi, params.ewald_dr, params.ewald_cut, params.radius,
+                tol=_cheb_tol(block_dtype),
             )
 
     if not thermal and not has_forces:
@@ -199,6 +201,14 @@ def make_config(
         seed=seed, engine=engine, nf_spec=nf_spec, ff_spec=ff_spec, cheb=cheb,
         has_forces=has_forces, band_spec=band_spec, colff_spec=colff_spec,
     )
+
+
+def _cheb_tol(block_dtype: str) -> float:
+    """Pair-function fit tolerance matched to the block dtype: bf16 blocks
+    quantize every entry at ~4e-3 relative anyway, so a 3e-5 absolute fit
+    (typically degree 8 instead of 12) adds nothing measurable end-to-end
+    while cutting the build kernel's dominant Clenshaw cost ~30%."""
+    return 3e-5 if block_dtype == "bfloat16" else 1e-6
 
 
 def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
@@ -379,7 +389,7 @@ def _prepare_banded(config, pos, box):
     bs = config.band_spec
     nf_bins = bin_columns(pos, box, bs.bins)
     ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
-    j0, n_valid, band_overflow = bdn.compute_windows(
+    j0, n_valid, band_overflow, zsh = bdn.compute_windows(
         nf_bins, bs, box, p.ewald_cut
     )
     # Off-TPU the matvec runs the pure-XLA reference (gathers are fast on
@@ -389,7 +399,7 @@ def _prepare_banded(config, pos, box):
     if not _pallas_interpret():
         blocks = bdn.build_banded_blocks(
             nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut,
-            p.ewald_dr, j0, n_valid,
+            p.ewald_dr, j0, n_valid, zsh,
         )
     ff_weights = _ff_shared(config, ff_bins, box)
     overflow = nf_bins.overflow | ff_bins.overflow | band_overflow

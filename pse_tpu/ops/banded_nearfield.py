@@ -142,9 +142,16 @@ def compute_windows(
     with the per-column valid count (see matvec/build kernels).
 
     j0 is quantized down to a multiple of 8 for aligned lane access.
-    Returns (j0 (O, C, T) int32, n_valid (C,) int32, band_overflow bool):
-    overflow is set when a tile's band exceeds the effective window
-    min(W, n_valid) — the regrow path widens W.
+    Returns (j0 (O, C, T) int32, n_valid (C,) int32, band_overflow bool,
+    zsh (O, C, T) f32): overflow is set when a tile's band exceeds the
+    effective window min(W, n_valid) — the regrow path widens W.
+
+    zsh is the scalar z-image shift of the whole (offset, column, tile)
+    window, in {-Lz, 0, +Lz}: dz = z_i - z_cyc(j) + zsh is EXACT for every
+    in-range pair (no per-pair minimum-image round needed), where z_cyc is
+    the cyclic-prefolded neighbor z (tail entries carry +Lz, see
+    _cyclic_prefold).  +Lz when the band was wrap-shifted up (zb < lo_z);
+    an extra -Lz when j0 aliased past one full period (j0 >= n_valid).
     """
     S = spec.bins.cap
     R = spec.rows
@@ -170,6 +177,7 @@ def compute_windows(
         valid_tile = valid_tile & col_mask[:, None]
 
     j0s = []
+    zshs = []
     overflow = jnp.asarray(False)
     for (ox, oy) in spec.offsets:
         zn = roll_cells(z, spec.bins, (ox, oy, 0))         # neighbor column z
@@ -187,9 +195,12 @@ def compute_windows(
         band = jnp.minimum(j1 - j0, nv[:, None])
         overflow = overflow | jnp.any(valid_tile & (band > W - 8))
         # A window starting past one full period aliases cyclically.
-        j0 = jnp.where(j0 >= nv[:, None], j0 - nv[:, None], j0)
+        aliased = j0 >= nv[:, None]
+        j0 = jnp.where(aliased, j0 - nv[:, None], j0)
         j0s.append(jnp.clip(j0 // 8 * 8, 0, S))
-    return jnp.stack(j0s, axis=0), n_valid, overflow
+        zshs.append(shift - jnp.where(aliased, Lz, 0.0))
+    return (jnp.stack(j0s, axis=0), n_valid, overflow,
+            jnp.stack(zshs, axis=0).astype(jnp.float32))
 
 
 def extend_slots(arr: jax.Array, spec: BandSpec) -> jax.Array:
@@ -210,7 +221,7 @@ def _sext_of(spec: BandSpec) -> int:
     return -(-(spec.bins.cap + spec.window + 128) // 128) * 128
 
 
-def _cyclic_prefold(col, nv, sext):
+def _cyclic_prefold(col, nv, sext, shifts=None):
     """(K, SEXT) slot array -> cyclic-rank array, once per (column, offset).
 
     Position k < nv keeps slot k; positions [nv, 2nv) get the seam wrap
@@ -220,9 +231,26 @@ def _cyclic_prefold(col, nv, sext):
     wrap level is always sufficient (windows are j0 < nv plus < nv valid
     lanes).  This replaces the old two-read-two-roll seam stitch that ran
     PER TILE (_stacked_window_read) with per-column work.
+
+    ``shifts``: optional (sx, sy, Lz) traced scalars for POSITION columns
+    (K=4 rows x/y/z/mask): adds the neighbor column's periodic xy image
+    shift to rows 0/1 and +Lz to the z row's wrap region — after which
+    dx/dy/dz against these values need no per-pair minimum-image round
+    (the build kernel adds the per-tile zsh scalar, see compute_windows).
     """
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, sext), 1)
-    return jnp.where(iota < nv, col, pltpu.roll(col, nv, 1))
+    folded = jnp.where(iota < nv, col, pltpu.roll(col, nv, 1))
+    if shifts is None:
+        return folded
+    sx, sy, lz = shifts
+    row = jax.lax.broadcasted_iota(jnp.int32, (col.shape[0], 1), 0)
+    adj = jnp.where(
+        row == 0, sx, jnp.where(
+            row == 1, sy,
+            jnp.where((row == 2) & (iota >= nv), lz, 0.0),
+        )
+    )
+    return folded + adj
 
 
 def _neighbor_column(c, ox, oy, ncx, ncy):
@@ -238,25 +266,34 @@ def _pair_components(
     xj, yj, zj, mj,            # (1, W) window coordinates
     tilt,                      # scalar
     *,
-    L, cheb: ChebPair, cut2: float, dr2: float, same_slot,
+    L, cheb: ChebPair, cut2: float, dr2: float, same_slot, zshift=None,
 ):
     """The 6 symmetric RPY-Ewald tensor components for one (tile, window).
 
     Pure VPU math shared by the build kernel; same formulas as
     blocked_nearfield.build_pair_blocks (Mobility.cu:661-677 semantics with
     Chebyshev pair functions instead of the texture table).
+
+    ``zshift``: when given, the xy image shifts are already folded into
+    (xj, yj) (see _cyclic_prefold) and the window's uniform z image shift
+    is this scalar — dx/dy/dz are exact without any per-pair round (any
+    pair whose unrounded distance exceeds the true minimum image is
+    provably outside rcut, so the cutoff mask handles it).
     """
     dx = xi - xj
     dy = yi - yj
     dz = zi - zj
-    # minimum image, xy-tilted box (box.min_image_components)
-    img_z = jnp.round(dz / L[2])
-    dz = dz - L[2] * img_z
-    img_y = jnp.round(dy / L[1])
-    dy = dy - L[1] * img_y
-    dx = dx - tilt * L[1] * img_y
-    img_x = jnp.round(dx / L[0])
-    dx = dx - L[0] * img_x
+    if zshift is not None:
+        dz = dz + zshift
+    else:
+        # minimum image, xy-tilted box (box.min_image_components)
+        img_z = jnp.round(dz / L[2])
+        dz = dz - L[2] * img_z
+        img_y = jnp.round(dy / L[1])
+        dy = dy - L[1] * img_y
+        dx = dx - tilt * L[1] * img_y
+        img_x = jnp.round(dx / L[0])
+        dx = dx - L[0] * img_x
 
     d2 = dx * dx + dy * dy + dz * dz
     valid = (mi * mj > 0.0) & (d2 < cut2) & (d2 >= dr2) & ~same_slot
@@ -399,7 +436,7 @@ def matvec_banded_reference(
 
 
 def _build_kernel(
-    offs_ref, nv_ref, tilt_ref, j0_ref, posm_ref, posm_t_ref, a_ref,
+    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, posm_ref, posm_t_ref, a_ref,
     pcyc_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2,
 ):
@@ -416,12 +453,22 @@ def _build_kernel(
     ox = offs_ref[o_i, 0]
     oy = offs_ref[o_i, 1]
     tilt = tilt_ref[0]
+    cx = jax.lax.div(c, ncy)
+    cy = jax.lax.rem(c, ncy)
     nbr = _neighbor_column(c, ox, oy, ncx, ncy)
     nv = nv_ref[nbr]
+    # Periodic xy image of the neighbor column as SCALAR shifts (the tilted
+    # box shifts x by tilt*Ly per y image) — folded into the prefold so the
+    # pair math needs no per-pair minimum-image rounds.
+    wx = jnp.where(cx + ox >= ncx, 1.0, jnp.where(cx + ox < 0, -1.0, 0.0))
+    wy = jnp.where(cy + oy >= ncy, 1.0, jnp.where(cy + oy < 0, -1.0, 0.0))
+    sy = wy * L[1]
+    sx = wx * L[0] + tilt * sy
     # Cyclic prefold of the neighbor column's (x, y, z, mask): one select +
     # roll per grid step instead of a two-read seam stitch per tile.
     pcyc_ref[:] = _cyclic_prefold(
-        posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT
+        posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT,
+        shifts=(sx, sy, L[2]),
     )
 
     # Own column with rows on sublanes, from the pre-transposed lane-padded
@@ -461,6 +508,7 @@ def _build_kernel(
             xi_col[sl], yi_col[sl], zi_col[sl], mi_col[sl],
             xj, yj, zj, mj, tilt,
             L=L, cheb=cheb, cut2=cut2, dr2=dr2, same_slot=same,
+            zshift=zsh_ref[o_i, c * T + t],
         )
         for k in range(6):
             a_ref[0, 0, k, sl, :] = comps[k].astype(dtype)
@@ -480,6 +528,7 @@ def build_banded_blocks(
     ewald_dr: float,
     j0: jax.Array,             # (O, C, T) int32 from compute_windows
     n_valid: jax.Array,        # (C,) int32 from compute_windows
+    zsh: jax.Array,            # (O, C, T) f32 from compute_windows
     interpret: bool = False,
 ) -> jax.Array:
     """A (1, C, 6, S, 5W) banded pair blocks — the N_HALF stored offsets
@@ -500,6 +549,7 @@ def build_banded_blocks(
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
     j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
+    zsh_flat = zsh.reshape(zsh.shape[0], -1)
     kernel = partial(
         _build_kernel,
         spec=spec,
@@ -516,6 +566,7 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # zsh (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_t (whole)
         ],
@@ -532,14 +583,14 @@ def build_banded_blocks(
         ),
         scratch_shapes=[pltpu.VMEM((4, sext), jnp.float32)],
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0_flat, posm_pad, posm_t)
+    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, posm_pad, posm_t)
 
 
 def _matvec_kernel(
     offs_ref, nv_ref, j0_ref, a_ref, f_ref,
-    u_ref, u2a_ref, u2b_ref, u2c_ref, u2d_ref,
+    u_ref, u2_ref,
     acc_ref, acct_ref, fcyc_ref, *,
-    spec: BandSpec,
+    spec: BandSpec, cps: int, parts: str = "both",
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
     column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
@@ -549,9 +600,14 @@ def _matvec_kernel(
       * transposed (the 4 mirror offsets): u[c+h] windows += A(c,h)ᵀ ·
         f(rows of c), accumulated per target offset in cyclic-rank
         coordinates in a VMEM scratch, wrap-folded once per column, and
-        written to the (C, 12, S) side output — the caller rolls those
-        onto the right columns in XLA (4 cheap (C,3,S) rolls, instead of
-        12 extra 128-lane read-modify-writes per column here).
+        written to the (C, 4, 3, S) side output at the OWN column — the
+        caller rolls those onto the target columns in XLA (4 cheap
+        (C,3,S) rolls; one output DMA per grid step instead of four).
+
+    ``cps`` columns are processed per grid step: the A stream is DMA-bound
+    (measured ~10-14 µs/step against a 5.3 µs DMA floor for the 4.3 MB
+    block at cps=1 — per-step issue overheads dominate), so fewer, larger
+    transfers buy real time.
 
     Rows live on sublanes; the forward result hits the (3, S, C) transposed
     output with one aligned 128-lane RMW per component per column."""
@@ -564,113 +620,132 @@ def _matvec_kernel(
     SEXT = acct_ref.shape[-1]
     SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
 
-    c = pl.program_id(0)
+    g = pl.program_id(0)
 
-    @pl.when(c == 0)
+    @pl.when(g == 0)
     def _zero_out():
         u_ref[:] = jnp.zeros_like(u_ref)
 
-    acct_ref[:] = jnp.zeros_like(acct_ref)
-
-    nbrs = []
-    nvs = []
-    for h in range(N_HALF):
-        nbr = _neighbor_column(c, offs_ref[h, 0], offs_ref[h, 1], ncx, ncy)
-        nbrs.append(nbr)
-        nvs.append(nv_ref[nbr])
     a_dtype = a_ref.dtype
     precision = (
         jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
     )
-
-    # One cyclic prefold per (column, offset): window reads below become a
-    # single aligned read + roll per tile instead of a two-read seam stitch.
-    for h in range(N_HALF):
-        fcol = f_ref[:, pl.ds(nbrs[h], 1), :].reshape(3, SEXT)
-        fcyc_ref[h] = _cyclic_prefold(fcol, nvs[h], SEXT)
-
-    for t in range(T):
-        sl = slice(t * R, (t + 1) * R)
-        # --- forward: A folds the lane-validity mask in at build time, so
-        # the window reads don't need lane_ok (junk lanes multiply zeros).
-        windows = []
-        for h in range(N_HALF):
-            j0h = j0_ref[h, c * T + t]
-            a0 = pl.multiple_of(j0h // 128 * 128, 128)
-            wide = fcyc_ref[h, :, pl.ds(a0, W + 128)]
-            windows.append(pltpu.roll(wide, a0 - j0h, 1)[:, :W])
-        fw = jnp.concatenate(windows, axis=1)                  # (3, 5W)
-        # ONE VMEM read of the A tile, shared by the forward dot and the
-        # per-component transposed dots below (a second ref read per
-        # component would double the VMEM->VREG traffic of the stream).
-        a_tile = a_ref[0, 0, :, sl, :]                         # (6, R, 5W)
-        a_stack = a_tile.reshape(6 * R, N_HALF * W)
-        res = jax.lax.dot_general(
-            a_stack, fw.astype(a_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )                                                      # (6R, 3)
-        # all (component k, force column) pairs accumulate raw; the
-        # symmetric combine happens once per column at flush
-        acc_ref[:, sl, :] = res.reshape(6, R, 3)
-
-        # --- transposed: uT(w) = Σ_r A(r, w)·f_own(r) for the 4 non-self
-        # offsets at once (lanes [W, 5W)), per component pair.  The own
-        # rows are a STATIC lane slice of the own column's cyclic array
-        # (slot k == cyclic position k for k < nv; pad rows pick up wrap
-        # junk, but their A rows are zero — mask folded at build — so the
-        # transposed products drop them).
-        f_own = fcyc_ref[0, :, t * R:(t + 1) * R]
-        res_t = [
-            jax.lax.dot_general(
-                f_own.astype(a_dtype), a_tile[k, :, W:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )                                                  # (3, 4W)
-            for k in range(6)
-        ]
-        ut = jnp.concatenate([
-            res_t[SYM[r][0]][0:1] + res_t[SYM[r][1]][1:2]
-            + res_t[SYM[r][2]][2:3]
-            for r in range(3)
-        ], axis=0)                                             # (3, 4W)
-        for h in range(NT):
-            j0 = j0_ref[1 + h, c * T + t]
-            a = pl.multiple_of(j0 // 128 * 128, 128)
-            w = jnp.pad(ut[:, h * W:(h + 1) * W], ((0, 0), (0, 128)))
-            acct_ref[h, :, pl.ds(a, W + 128)] += pltpu.roll(w, j0 - a, 1)
-
-    # --- flush: forward combine + one aligned 128-lane RMW per component
-    a = pl.multiple_of(c // 128 * 128, 128)
-    for r in range(3):
-        col = (
-            acc_ref[SYM[r][0], :, 0:1]
-            + acc_ref[SYM[r][1], :, 1:2]
-            + acc_ref[SYM[r][2], :, 2:3]
-        )                                                      # (S, 1)
-        placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
-        u_ref[r, :, pl.ds(a, 128)] += placed
-
-    # transposed fold: cyclic ranks -> slots.  Ranks < nv are slots; ranks
-    # in [nv, nv+W) wrap to slots [0, W).  Positions >= nv of the head hold
-    # wrap-rank data (re-added by the tail fold), so they are masked out.
-    # Each offset's result goes to its own output, whose index_map already
-    # points at the TARGET column c+h — the caller adds the four outputs
-    # elementwise (no XLA cell rolls).
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-    for h, u2_ref in enumerate((u2a_ref, u2b_ref, u2c_ref, u2d_ref)):
-        nv = nvs[1 + h]
-        a2 = pl.multiple_of(nv // 128 * 128, 128)
-        head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
-        tail_w = pltpu.roll(
-            acct_ref[h, :, pl.ds(a2, W + 128)], a2 - nv, 1
-        )[:, :W]
-        u2_ref[0] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
+
+    for ci in range(cps):
+        c = g * cps + ci
+        acct_ref[:] = jnp.zeros_like(acct_ref)
+
+        nbrs = []
+        nvs = []
+        for h in range(N_HALF):
+            nbr = _neighbor_column(
+                c, offs_ref[h, 0], offs_ref[h, 1], ncx, ncy
+            )
+            nbrs.append(nbr)
+            nvs.append(nv_ref[nbr])
+
+        # One cyclic prefold per (column, offset): window reads below
+        # become a single aligned read + roll per tile instead of a
+        # two-read seam stitch.
+        for h in range(N_HALF):
+            fcol = f_ref[:, pl.ds(nbrs[h], 1), :].reshape(3, SEXT)
+            fcyc_ref[h] = _cyclic_prefold(fcol, nvs[h], SEXT)
+
+        for t in range(T):
+            sl = slice(t * R, (t + 1) * R)
+            # ONE VMEM read of the A tile, shared by the forward dot and
+            # the per-component transposed dots below (a second ref read
+            # per component would double the VMEM->VREG traffic).
+            a_tile = a_ref[0, ci, :, sl, :]                    # (6, R, 5W)
+            a_stack = a_tile.reshape(6 * R, N_HALF * W)
+            if parts == "none":
+                # pure-stream probe: touch A minimally so the fetch
+                # pipeline runs but (almost) no compute issues
+                acc_ref[:, sl, 0:1] = a_tile[:, :, 0:1].astype(jnp.float32)
+                continue
+
+            if parts in ("both", "fwd"):
+                # --- forward: A folds the lane-validity mask in at build
+                # time, so the window reads don't need lane_ok (junk lanes
+                # multiply zeros).
+                windows = []
+                for h in range(N_HALF):
+                    j0h = j0_ref[h, c * T + t]
+                    a0 = pl.multiple_of(j0h // 128 * 128, 128)
+                    wide = fcyc_ref[h, :, pl.ds(a0, W + 128)]
+                    windows.append(pltpu.roll(wide, a0 - j0h, 1)[:, :W])
+                fw = jnp.concatenate(windows, axis=1)          # (3, 5W)
+                res = jax.lax.dot_general(
+                    a_stack, fw.astype(a_dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )                                              # (6R, 3)
+                # all (component k, force column) pairs accumulate raw; the
+                # symmetric combine happens once per column at flush
+                acc_ref[:, sl, :] = res.reshape(6, R, 3)
+
+            if parts in ("both", "t"):
+                # --- transposed: uT(w) = Σ_r A(r, w)·f_own(r) for the 4
+                # non-self offsets at once (lanes [W, 5W)), per component
+                # pair.  The own rows are a STATIC lane slice of the own
+                # column's cyclic array (slot k == cyclic position k for
+                # k < nv; pad rows pick up wrap junk, but their A rows are
+                # zero — mask folded at build — so the transposed products
+                # drop them).
+                f_own = fcyc_ref[0, :, t * R:(t + 1) * R]
+                res_t = [
+                    jax.lax.dot_general(
+                        f_own.astype(a_dtype), a_tile[k, :, W:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )                                          # (3, 4W)
+                    for k in range(6)
+                ]
+                ut = jnp.concatenate([
+                    res_t[SYM[r][0]][0:1] + res_t[SYM[r][1]][1:2]
+                    + res_t[SYM[r][2]][2:3]
+                    for r in range(3)
+                ], axis=0)                                     # (3, 4W)
+                for h in range(NT):
+                    j0 = j0_ref[1 + h, c * T + t]
+                    a = pl.multiple_of(j0 // 128 * 128, 128)
+                    w = jnp.pad(
+                        ut[:, h * W:(h + 1) * W], ((0, 0), (0, 128))
+                    )
+                    acct_ref[h, :, pl.ds(a, W + 128)] += pltpu.roll(
+                        w, j0 - a, 1
+                    )
+
+        # --- flush: forward combine + one aligned 128-lane RMW per comp
+        a = pl.multiple_of(c // 128 * 128, 128)
+        for r in range(3):
+            col = (
+                acc_ref[SYM[r][0], :, 0:1]
+                + acc_ref[SYM[r][1], :, 1:2]
+                + acc_ref[SYM[r][2], :, 2:3]
+            )                                                  # (S, 1)
+            placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
+            u_ref[r, :, pl.ds(a, 128)] += placed
+
+        # transposed fold: cyclic ranks -> slots.  Ranks < nv are slots;
+        # ranks in [nv, nv+W) wrap to slots [0, W).  Positions >= nv of the
+        # head hold wrap-rank data (re-added by the tail fold), so they are
+        # masked out.
+        for h in range(NT):
+            nv = nvs[1 + h]
+            a2 = pl.multiple_of(nv // 128 * 128, 128)
+            head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
+            tail_w = pltpu.roll(
+                acct_ref[h, :, pl.ds(a2, W + 128)], a2 - nv, 1
+            )[:, :W]
+            u2_ref[ci, h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 
 
-@partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret"))
+@partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret",
+                                   "parts", "cols_per_step"))
 def matvec_banded(
     blocks: jax.Array,         # (1, C, 6, S, 5W) from build_banded_blocks
     j0: jax.Array,             # (O, C, T) int32
@@ -679,6 +754,8 @@ def matvec_banded(
     f_cells: jax.Array,        # (3, C, S) f32 — padded slots MUST be zero
     self_mobility,
     interpret: bool = False,
+    parts: str = "both",       # "fwd"/"t"/"none": timing probes (WRONG result)
+    cols_per_step: int | None = None,
 ) -> jax.Array:
     """u = M_real · f in column layout: one streamed read of the half band,
     applied forward and transposed (the mirror offsets)."""
@@ -693,49 +770,48 @@ def matvec_banded(
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     c_pad = -(-C // 128) * 128                # aligned lane stores
 
+    if cols_per_step is None:
+        # The A stream is DMA-bound with a fixed per-grid-step cost:
+        # amortize it over the largest divisor of C that keeps the
+        # double-buffered block under ~32 MB of VMEM.
+        budget = 16 * 2 ** 20
+        cols_per_step = next(
+            (d for d in (4, 3, 2) if C % d == 0
+             and d * 6 * S * N_HALF * W * blocks.dtype.itemsize <= budget),
+            1,
+        )
+    cps = cols_per_step
+
     j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
-    kernel = partial(_matvec_kernel, spec=spec)
+    kernel = partial(_matvec_kernel, spec=spec, cps=cps, parts=parts)
 
-    def mirror_map(h):
-        # Mirror offset h's output block for grid column c IS its target
-        # column c + offsets[1+h]: the "roll onto the right column" happens
-        # in the output index map, not as XLA cell rolls afterwards.
-        ox, oy = spec.offsets[1 + h]
-
-        def imap(c, ox=ox, oy=oy):
-            cx = jax.lax.div(c, ncy)
-            cy = jax.lax.rem(c, ncy)
-            tx = jax.lax.rem(cx + ox + ncx, ncx)
-            ty = jax.lax.rem(cy + oy + ncy, ncy)
-            return (tx * ncy + ty, 0, 0)
-
-        return imap
-
-    u_t, u2a, u2b, u2c, u2d = pl.pallas_call(
+    u_t, u2 = pl.pallas_call(
         kernel,
-        grid=(C,),
+        grid=(C // cps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec((1, 1, 6, S, N_HALF * W), lambda c: (0, c, 0, 0, 0),
+            pl.BlockSpec((1, cps, 6, S, N_HALF * W),
+                         lambda g: (0, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
         ],
         out_specs=[
             pl.BlockSpec(
-                (3, S, c_pad), lambda c: (0, 0, 0), memory_space=pltpu.VMEM
+                (3, S, c_pad), lambda g: (0, 0, 0), memory_space=pltpu.VMEM
             ),
-        ] + [
-            # Column axis LEADING so the block's minor dims (3, S) equal the
-            # array dims — the Mosaic (8, 128) block-divisibility rule only
-            # exempts full dimensions.
-            pl.BlockSpec((1, 3, S), mirror_map(h), memory_space=pltpu.VMEM)
-            for h in range(N_HALF - 1)
+            # Mirror contributions at the OWN column (one DMA per step);
+            # the caller rolls them onto the target columns in XLA.
+            # Column axis LEADING so the block's minor dims (3, S) equal
+            # the array dims — the Mosaic (8, 128) block-divisibility rule
+            # only exempts full dimensions.
+            pl.BlockSpec((cps, N_HALF - 1, 3, S), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32)] + [
-            jax.ShapeDtypeStruct((C, 3, S), jnp.float32)
-            for _ in range(N_HALF - 1)
+        out_shape=[
+            jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((C, N_HALF - 1, 3, S), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((6, S, 3), jnp.float32),
@@ -744,10 +820,19 @@ def matvec_banded(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # default scoped-vmem limit is 16 MB; the double-buffered
+            # multi-column A stream plus the VMEM-resident outputs need more
+            vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
     )(offsets_arr, n_valid, j0_flat, blocks, f_pad)
 
     u = u_t[:, :, :C].transpose(0, 2, 1)                # (3, C, S) forward
-    u2 = (u2a + u2b + u2c + u2d).transpose(1, 0, 2)     # (C, 3, S) -> (3, C, S)
-    return u + u2 + self_mobility * f_cells
+    # Mirror contributions: u2[c, h] holds what column c's blocks
+    # contribute to column c+offsets[1+h] — roll each onto its target.
+    for h in range(N_HALF - 1):
+        ox, oy = spec.offsets[1 + h]
+        u = u + jnp.moveaxis(
+            roll_cells(u2[:, h], spec.bins, (-ox, -oy, 0)), 1, 0
+        )
+    return u + self_mobility * f_cells

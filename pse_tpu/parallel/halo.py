@@ -88,11 +88,21 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     perm_fwd = [(i, (i + 1) % D) for i in range(D)]
     perm_bwd = [(i, (i - 1) % D) for i in range(D)]
 
-    def exchange_x(arr):
-        """(..., nxl*ncy, S) local -> (..., (nxl+2)*ncy, S) with halos."""
+    def exchange_x(arr, seam_shift=False):
+        """(..., nxl*ncy, S) local -> (..., (nxl+2)*ncy, S) with halos.
+
+        ``seam_shift``: for x-COORDINATE arrays — the devices at the
+        periodic seam add ∓Lx to the received halo layer so local slab
+        coordinates are physically contiguous (the build kernel's
+        scalar-shift minimum image sees no x wrap inside a slab)."""
         a = arr.reshape(arr.shape[:-2] + (nxl, ncy, S))
         left = jax.lax.ppermute(a[..., -1:, :, :], axis, perm_fwd)
         right = jax.lax.ppermute(a[..., :1, :, :], axis, perm_bwd)
+        if seam_shift:
+            i = jax.lax.axis_index(axis)
+            Lx = jnp.float32(p.L[0])
+            left = left - jnp.where(i == 0, Lx, 0.0)
+            right = right + jnp.where(i == D - 1, Lx, 0.0)
         ext = jnp.concatenate([left, a, right], axis=-3)
         return ext.reshape(arr.shape[:-2] + (C_loc, S))
 
@@ -103,9 +113,9 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     # banded_nearfield.matvec_banded_reference), which rebuilds the pair
     # functions from the exchanged slab positions — no stored blocks.
     def _local_prepare(px, py, pz, mask, tilt):
-        ext = lambda v: exchange_x(v)
         bins_loc = CellBins(
-            px=ext(px), py=ext(py), pz=ext(pz), mask=ext(mask),
+            px=exchange_x(px, seam_shift=True), py=exchange_x(py),
+            pz=exchange_x(pz), mask=exchange_x(mask),
             pid=None, cell_of=None, rank_of=None, overflow=None,
         )
         box = Box(jnp.asarray(p.L, jnp.float32), tilt)
@@ -114,7 +124,7 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         # outputs are discarded, so gate the overflow check on the interior.
         cx = jnp.arange(C_loc, dtype=jnp.int32) // ncy
         col_ok = (cx >= 1) & (cx <= nxl)
-        j0, nv, ovf = bdn.compute_windows(
+        j0, nv, ovf, zsh = bdn.compute_windows(
             bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok
         )
         if interpret:
@@ -122,7 +132,7 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         else:
             blocks = bdn.build_banded_blocks(
                 bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
-                p.ewald_dr, j0, nv,
+                p.ewald_dr, j0, nv, zsh,
             )
         return blocks, j0, nv, ovf.reshape(1)
 

@@ -132,13 +132,13 @@ def test_banded_kernels_match_reference_interpret():
     bs, cheb, p = cfg.band_spec, cfg.cheb, cfg.params
     box = make_box(p.L, 0.07)
     bins = bin_columns(jnp.asarray(pos), box, bs.bins)
-    j0, nv, ovf = bdn.compute_windows(bins, bs, box, p.ewald_cut)
+    j0, nv, ovf, zsh = bdn.compute_windows(bins, bs, box, p.ewald_cut)
     assert not bool(ovf)
     f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
 
     blocks = bdn.build_banded_blocks(
         bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
-        interpret=True,
+        zsh, interpret=True,
     )
     u_kernel = bdn.matvec_banded(
         blocks, j0, nv, bs, f_cells, p.self_mobility, interpret=True
