@@ -178,7 +178,13 @@ def main():
               f"(m={r['m_lanczos']})", file=sys.stderr)
     if args.sweep:
         for xi in (0.65, 0.8):
-            r = run_bench(xi=xi)
+            # a sweep-point failure must not lose the headline result
+            try:
+                r = run_bench(xi=xi)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                print(f"# sweep xi={xi} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                continue
             results.append(r)
             print(f"# {r['workload']:12s} xi={r['xi']}: "
                   f"{r['particle_steps_per_sec']:.3g} particle-steps/s",

@@ -548,8 +548,11 @@ def build_banded_blocks(
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
-    j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
-    zsh_flat = zsh.reshape(zsh.shape[0], -1)
+    # Only the N_HALF stored offsets are read in-kernel; slicing the SMEM
+    # tables matters — at large C the full (9, C*T) j0+zsh pair overflows
+    # the 1 MB SMEM budget (measured at xi=0.8 bench scale).
+    j0_flat = j0[:N_HALF].reshape(N_HALF, -1)
+    zsh_flat = zsh[:N_HALF].reshape(N_HALF, -1)
     kernel = partial(
         _build_kernel,
         spec=spec,
@@ -782,7 +785,7 @@ def matvec_banded(
         )
     cps = cols_per_step
 
-    j0_flat = j0.reshape(O, -1)   # SMEM pads the minor dim to 128: keep it big
+    j0_flat = j0[:N_HALF].reshape(N_HALF, -1)   # SMEM budget: stored offsets only
     kernel = partial(_matvec_kernel, spec=spec, cps=cps, parts=parts)
 
     u_t, u2 = pl.pallas_call(
