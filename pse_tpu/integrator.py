@@ -285,9 +285,10 @@ class _BandedCtx(NamedTuple):
     ff_bins: object
     j0: jax.Array          # (O, C, T) i32 band window starts
     n_valid: jax.Array     # (C,) i32 occupied slots per column
-    blocks: object         # (O, C, 6, S, W) banded pair blocks (None off-TPU)
+    zsh: jax.Array         # (O, C, T) f32 window z-image shifts
+    blocks: object         # (1, C, 2, S, 5W) pair coefficients (None off-TPU)
     ff_weights: object
-    tilt: jax.Array        # () f32 box tilt (reference matvec rebuilds pairs)
+    tilt: jax.Array        # () f32 box tilt (matvec rebuilds the geometry)
 
 
 def _pallas_interpret() -> bool:
@@ -404,7 +405,7 @@ def _prepare_banded(config, pos, box):
     ff_weights = _ff_shared(config, ff_bins, box)
     overflow = nf_bins.overflow | ff_bins.overflow | band_overflow
     return (
-        _BandedCtx(nf_bins, ff_bins, j0, n_valid, blocks, ff_weights,
+        _BandedCtx(nf_bins, ff_bins, j0, n_valid, zsh, blocks, ff_weights,
                    jnp.asarray(box.tilt_xy, jnp.float32)),
         overflow,
     )
@@ -452,7 +453,8 @@ def _engine(config: StepConfig):
                     p.self_mobility,
                 )
             return bdn.matvec_banded(
-                ctx.blocks, ctx.j0, ctx.n_valid, bs, cells, p.self_mobility
+                ctx.blocks, ctx.nf_bins, ctx.tilt, ctx.j0, ctx.n_valid,
+                ctx.zsh, bs, cells, p.self_mobility, p.L,
             )
 
         def mreal_t(ctx, ft):

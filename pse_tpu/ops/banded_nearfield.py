@@ -14,8 +14,12 @@ column c' is a single (16 x 128) block whose 128 columns start at a
 per-(tile, column-pair) window offset j0 computed from the sorted z values.
 
 Storage per matvec drops from noff*cap/128-ish dense waste to
-    A: (noff=9, C, 6, cap, W=128)   [bfloat16]
-~6x less HBM traffic than the dense engine at bench scale, with the window
+    A: (1, C, 2, cap, N_HALF*W)   [bfloat16]
+— only the half stencil ((0,0) + 4 positive offsets, applied forward AND
+transposed from one stream) and only TWO coefficients per pair
+(imrr, bco/d²): the dyadic ddᵀ part of each 3x3 block is rebuilt in the
+matvec kernel from the z-sorted coordinates (exact f32 geometry).  ~18x
+less HBM traffic than the dense engine at bench scale, with the window
 slack (density fluctuations) the only remaining overcompute.
 
 Layout contract (all built by cellbins.bin_columns):
@@ -267,8 +271,9 @@ def _pair_components(
     tilt,                      # scalar
     *,
     L, cheb: ChebPair, cut2: float, dr2: float, same_slot, zshift=None,
+    geometric: bool = False,
 ):
-    """The 6 symmetric RPY-Ewald tensor components for one (tile, window).
+    """The symmetric RPY-Ewald pair tensor for one (tile, window).
 
     Pure VPU math shared by the build kernel; same formulas as
     blocked_nearfield.build_pair_blocks (Mobility.cu:661-677 semantics with
@@ -279,6 +284,12 @@ def _pair_components(
     is this scalar — dx/dy/dz are exact without any per-pair round (any
     pair whose unrounded distance exceeds the true minimum image is
     provably outside rcut, so the cutoff mask handles it).
+
+    ``geometric``: return only (imrr, bco/d²) — the storage-reduced form.
+    The full block is imrr·I + bco·êêᵀ = imrr·I + (bco/d²)·ddᵀ, and the
+    matvec kernel reconstructs d = (dx, dy, dz) in f32 from the same
+    prefolded coordinates, so this cuts the stored bytes 3x (6 -> 2
+    components) with no change to the physics.
     """
     dx = xi - xj
     dy = yi - yj
@@ -303,6 +314,8 @@ def _pair_components(
     uf1, uf2 = eval_pair_functions(cheb, dist)
     imrr = jnp.where(valid, uf1, 0.0)
     bco = jnp.where(valid, uf2 - uf1, 0.0)
+    if geometric:
+        return imrr, bco / d2_safe
     inv_d = 1.0 / dist
     ex = dx * inv_d
     ey = dy * inv_d
@@ -504,14 +517,14 @@ def _build_kernel(
         islot = t * R + iota_r                              # (R, 1)
         same = is_self & (jslot == islot)
 
-        comps = _pair_components(
+        imrr, bq = _pair_components(
             xi_col[sl], yi_col[sl], zi_col[sl], mi_col[sl],
             xj, yj, zj, mj, tilt,
             L=L, cheb=cheb, cut2=cut2, dr2=dr2, same_slot=same,
-            zshift=zsh_ref[o_i, c * T + t],
+            zshift=zsh_ref[o_i, c * T + t], geometric=True,
         )
-        for k in range(6):
-            a_ref[0, 0, k, sl, :] = comps[k].astype(dtype)
+        a_ref[0, 0, 0, sl, :] = imrr.astype(dtype)
+        a_ref[0, 0, 1, sl, :] = bq.astype(dtype)
 
 
 @partial(
@@ -531,8 +544,11 @@ def build_banded_blocks(
     zsh: jax.Array,            # (O, C, T) f32 from compute_windows
     interpret: bool = False,
 ) -> jax.Array:
-    """A (1, C, 6, S, 5W) banded pair blocks — the N_HALF stored offsets
-    side by side on the lane axis — built once per step."""
+    """A (1, C, 2, S, 5W) banded pair coefficients — (imrr, bco/d²) for the
+    N_HALF stored offsets side by side on the lane axis — built once per
+    step.  The matvec reconstructs the dyadic ddᵀ part from the prefolded
+    coordinates (3x fewer stored bytes than the expanded 6-component
+    tensor; the A stream is the step's dominant HBM traffic)."""
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -576,13 +592,13 @@ def build_banded_blocks(
         # Only the half stencil is built (the mirrors are transposes —
         # full_xy_offsets); the 5 stored offsets sit side by side on the
         # lane axis so the matvec contracts all of them with ONE
-        # (6R, 5W) MXU dot per tile.
+        # (R, 5W) MXU dot per tile.
         out_specs=pl.BlockSpec(
-            (1, 1, 6, S, W), lambda o, c: (0, c, 0, 0, o),
+            (1, 1, 2, S, W), lambda o, c: (0, c, 0, 0, o),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (1, C, 6, S, N_HALF * W), jnp.dtype(spec.block_dtype)
+            (1, C, 2, S, N_HALF * W), jnp.dtype(spec.block_dtype)
         ),
         scratch_shapes=[pltpu.VMEM((4, sext), jnp.float32)],
         interpret=interpret,
@@ -590,10 +606,11 @@ def build_banded_blocks(
 
 
 def _matvec_kernel(
-    offs_ref, nv_ref, j0_ref, a_ref, f_ref,
+    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, a_ref, fp_ref, pt_ref,
+    ft_ref,
     u_ref, u2_ref,
-    acc_ref, acct_ref, fcyc_ref, *,
-    spec: BandSpec, cps: int, parts: str = "both",
+    acc_ref, acct_ref, fpcyc_ref, *,
+    spec: BandSpec, L, cps: int, parts: str = "both",
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
     column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
@@ -612,6 +629,13 @@ def _matvec_kernel(
     block at cps=1 — per-step issue overheads dominate), so fewer, larger
     transfers buy real time.
 
+    Storage-reduced A: only (imrr, bco/d²) are streamed; the dyadic ddᵀ
+    part of each pair block is reconstructed here from the prefolded
+    coordinates (exactly the build kernel's scalar-shift geometry), so
+    u_k(r) = Σ_w imrr·f_k + G·d_k with G = (bco/d²)·(d·f).  3x less HBM
+    traffic for ~20 extra VPU ops per pair — the right trade for a
+    DMA-bound kernel.
+
     Rows live on sublanes; the forward result hits the (3, S, C) transposed
     output with one aligned 128-lane RMW per component per column."""
     ncx, ncy, _ = spec.bins.n_cells
@@ -621,7 +645,6 @@ def _matvec_kernel(
     T = S // R
     NT = N_HALF - 1                       # transposed (mirror) offsets
     SEXT = acct_ref.shape[-1]
-    SYM = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
 
     g = pl.program_id(0)
 
@@ -633,85 +656,183 @@ def _matvec_kernel(
     precision = (
         jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
     )
+    # The geometry dots contract f32 coordinates (|q| up to ~rcut + tile
+    # span) against f32 G/H; a single bf16 MXU pass would round q to ~0.4%
+    # of ITS magnitude — amplified by |q|/|d| on near pairs, past the
+    # banded==blocked 2.5e-4 gate.  Precision.HIGHEST fixes that but
+    # splits BOTH operands hi/lo on the VPU (measured +1.5 ms/matvec);
+    # instead split only the SMALL coordinate operand into bf16 hi+lo
+    # (~16 mantissa bits) and run two single-pass bf16 dots — the big
+    # G/H operand is cast once (0.4% relative on the dyadic term, the
+    # same rounding class as the bf16 f cast in the isotropic dot).
+    def _geo_dot(big, small, dims, big_first):
+        if a_dtype == jnp.float32:
+            ops = (big, small) if big_first else (small, big)
+            return jax.lax.dot_general(
+                *ops, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        b16 = big.astype(jnp.bfloat16)
+        s_hi = small.astype(jnp.bfloat16)
+        s_lo = (small - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = None
+        for s in (s_hi, s_lo):
+            ops = (b16, s) if big_first else (s, b16)
+            d = jax.lax.dot_general(
+                *ops, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            out = d if out is None else out + d
+        return out
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
+    row6 = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+    tilt = tilt_ref[0]
+    ones_w = jnp.ones((1, N_HALF * W), jnp.float32)
+    ones_r = jnp.ones((R, 1), jnp.float32)
 
     for ci in range(cps):
         c = g * cps + ci
         acct_ref[:] = jnp.zeros_like(acct_ref)
+        cx = jax.lax.div(c, ncy)
+        cy = jax.lax.rem(c, ncy)
 
         nbrs = []
         nvs = []
+        # One cyclic prefold per (column, offset) of the STACKED (f, pos)
+        # columns: window reads below become a single aligned read + roll
+        # per (tile, offset).  Rows 3-5 (the neighbor coordinates) get the
+        # periodic xy image as scalar shifts and +Lz on the wrap region —
+        # the same exact-geometry contract as the build kernel.
         for h in range(N_HALF):
-            nbr = _neighbor_column(
-                c, offs_ref[h, 0], offs_ref[h, 1], ncx, ncy
-            )
+            ox = offs_ref[h, 0]
+            oy = offs_ref[h, 1]
+            nbr = _neighbor_column(c, ox, oy, ncx, ncy)
             nbrs.append(nbr)
-            nvs.append(nv_ref[nbr])
+            nv = nv_ref[nbr]
+            nvs.append(nv)
+            wx = jnp.where(cx + ox >= ncx, 1.0,
+                           jnp.where(cx + ox < 0, -1.0, 0.0))
+            wy = jnp.where(cy + oy >= ncy, 1.0,
+                           jnp.where(cy + oy < 0, -1.0, 0.0))
+            sy = wy * L[1]
+            sx = wx * L[0] + tilt * sy
+            col = fp_ref[:, pl.ds(nbr, 1), :].reshape(6, SEXT)
+            folded = jnp.where(iota_e < nv, col, pltpu.roll(col, nv, 1))
+            adj = jnp.where(
+                row6 == 3, sx, jnp.where(
+                    row6 == 4, sy,
+                    jnp.where((row6 == 5) & (iota_e >= nv), L[2], 0.0),
+                )
+            )
+            fpcyc_ref[h] = folded + adj
 
-        # One cyclic prefold per (column, offset): window reads below
-        # become a single aligned read + roll per tile instead of a
-        # two-read seam stitch.
-        for h in range(N_HALF):
-            fcol = f_ref[:, pl.ds(nbrs[h], 1), :].reshape(3, SEXT)
-            fcyc_ref[h] = _cyclic_prefold(fcol, nvs[h], SEXT)
+        # Own-column rows on sublanes (coordinates + forces), from the
+        # pre-transposed lane-padded copies: a 128-aligned wide read +
+        # rotate per component (dynamic lane loads must be 128-aligned).
+        ca = pl.multiple_of(c // 128 * 128, 128)
+
+        def col_read(ref, k):
+            wide = ref[k, :, pl.ds(ca, 128)]                # (S, 128)
+            return pltpu.roll(wide, ca - c, 1)[:, :1]       # (S, 1)
+
+        xi_col = col_read(pt_ref, 0)
+        yi_col = col_read(pt_ref, 1)
+        zi_col = col_read(pt_ref, 2)
+        fox_col = col_read(ft_ref, 0)
+        foy_col = col_read(ft_ref, 1)
+        foz_col = col_read(ft_ref, 2)
 
         for t in range(T):
             sl = slice(t * R, (t + 1) * R)
-            # ONE VMEM read of the A tile, shared by the forward dot and
-            # the per-component transposed dots below (a second ref read
-            # per component would double the VMEM->VREG traffic).
-            a_tile = a_ref[0, ci, :, sl, :]                    # (6, R, 5W)
-            a_stack = a_tile.reshape(6 * R, N_HALF * W)
+            a_tile = a_ref[0, ci, :, sl, :]                    # (2, R, 5W)
             if parts == "none":
                 # pure-stream probe: touch A minimally so the fetch
                 # pipeline runs but (almost) no compute issues
-                acc_ref[:, sl, 0:1] = a_tile[:, :, 0:1].astype(jnp.float32)
+                acc_ref[sl, 0:1] = a_tile[0, :, 0:1].astype(jnp.float32)
                 continue
+            F1 = a_tile[0]                                     # (R, 5W)
+            Bq = a_tile[1].astype(jnp.float32)                 # bco/d²
+
+            # Windows: one wide read + roll per offset of the stacked
+            # (f, coords) cyclic array; the per-tile z image shift (zsh)
+            # folds into the window z so dz below is exact.
+            wins = []
+            for h in range(N_HALF):
+                j0h = j0_ref[h, c * T + t]
+                a0 = pl.multiple_of(j0h // 128 * 128, 128)
+                wide = fpcyc_ref[h, :, pl.ds(a0, W + 128)]
+                win = pltpu.roll(wide, a0 - j0h, 1)[:, :W]     # (6, W)
+                zq = win[5:6] - zsh_ref[h, c * T + t]
+                wins.append(jnp.concatenate([win[0:5], zq], axis=0))
+            fq = jnp.concatenate(wins, axis=1)                 # (6, 5W)
+            fw = fq[0:3]                                       # forces
+            # Pair geometry, never materialized per pair: with
+            # d_k(r,w) = own_k(r) - q_k(w) the dyadic sums separate,
+            #   Σ_w G·d_k = own_k·Σ_w G - Σ_w G·q_k       (forward)
+            #   Σ_r H·d_k = Σ_r H·own_k - q_k·Σ_r H       (transposed)
+            # so both reduce to ONE MXU dot against [q; 1] / [own, 1]
+            # (the ones column yields the plain sum) — VPU lane/sublane
+            # reductions and the (R, 5W) d arrays disappear.  Coordinates
+            # are recentred on the tile's first row to keep the two
+            # cancelling terms small (f32 noise ~|coord|·eps).
+            # Junk lanes (pad slots, beyond-band) carry finite junk
+            # coordinates but their F1/Bq are zero (mask and cutoff folded
+            # at build), so every product below drops them.
+            xi = xi_col[sl]                                    # (R, 1)
+            yi = yi_col[sl]
+            zi = zi_col[sl]
+            ccx, ccy, ccz = xi[0:1], yi[0:1], zi[0:1]          # (1, 1)
+            xic, yic, zic = xi - ccx, yi - ccy, zi - ccz
+            qx = fq[3:4] - ccx                                 # (1, 5W)
+            qy = fq[4:5] - ccy
+            qz = fq[5:6] - ccz
+            qf = qx * fw[0:1] + qy * fw[1:2] + qz * fw[2:3]    # (1, 5W)
+            of = xic * fw[0:1] + yic * fw[1:2] + zic * fw[2:3]
+            G = Bq * (of - qf)                                 # (R, 5W)
 
             if parts in ("both", "fwd"):
-                # --- forward: A folds the lane-validity mask in at build
-                # time, so the window reads don't need lane_ok (junk lanes
-                # multiply zeros).
-                windows = []
-                for h in range(N_HALF):
-                    j0h = j0_ref[h, c * T + t]
-                    a0 = pl.multiple_of(j0h // 128 * 128, 128)
-                    wide = fcyc_ref[h, :, pl.ds(a0, W + 128)]
-                    windows.append(pltpu.roll(wide, a0 - j0h, 1)[:, :W])
-                fw = jnp.concatenate(windows, axis=1)          # (3, 5W)
-                res = jax.lax.dot_general(
-                    a_stack, fw.astype(a_dtype),
+                t1 = jax.lax.dot_general(
+                    F1, fw.astype(a_dtype),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )                                              # (6R, 3)
-                # all (component k, force column) pairs accumulate raw; the
-                # symmetric combine happens once per column at flush
-                acc_ref[:, sl, :] = res.reshape(6, R, 3)
+                )                                              # (R, 3)
+                q1 = jnp.concatenate([qx, qy, qz, ones_w], axis=0)
+                t2g = _geo_dot(
+                    G, q1, (((1,), (1,)), ((), ())), big_first=True
+                )                                              # (R, 4)
+                own3 = jnp.concatenate([xic, yic, zic], axis=1)
+                acc_ref[sl, :] = t1 + own3 * t2g[:, 3:4] - t2g[:, 0:3]
 
             if parts in ("both", "t"):
-                # --- transposed: uT(w) = Σ_r A(r, w)·f_own(r) for the 4
-                # non-self offsets at once (lanes [W, 5W)), per component
-                # pair.  The own rows are a STATIC lane slice of the own
-                # column's cyclic array (slot k == cyclic position k for
-                # k < nv; pad rows pick up wrap junk, but their A rows are
-                # zero — mask folded at build — so the transposed products
-                # drop them).
-                f_own = fcyc_ref[0, :, t * R:(t + 1) * R]
-                res_t = [
-                    jax.lax.dot_general(
-                        f_own.astype(a_dtype), a_tile[k, :, W:],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision,
-                    )                                          # (3, 4W)
-                    for k in range(6)
-                ]
-                ut = jnp.concatenate([
-                    res_t[SYM[r][0]][0:1] + res_t[SYM[r][1]][1:2]
-                    + res_t[SYM[r][2]][2:3]
-                    for r in range(3)
-                ], axis=0)                                     # (3, 4W)
+                # --- transposed: uT_k(w) = Σ_r F1·f_own_k(r) + H·d_k for
+                # the 4 non-self offsets at once (lanes [W, 5W)), with
+                # H = (bco/d²)·(d·f_own).  Own rows come from the
+                # pre-transposed force copy (sublane layout, exact slots).
+                fox = fox_col[sl]                              # (R, 1)
+                foy = foy_col[sl]
+                foz = foz_col[sl]
+                f_own = jnp.concatenate([fox, foy, foz], axis=1)
+                t1t = jax.lax.dot_general(
+                    f_own.astype(a_dtype), F1[:, W:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )                                              # (3, 4W)
+                qx4, qy4, qz4 = qx[:, W:], qy[:, W:], qz[:, W:]
+                oof = xic * fox + yic * foy + zic * foz        # (R, 1)
+                qfo = qx4 * fox + qy4 * foy + qz4 * foz        # (R, 4W)
+                H = Bq[:, W:] * (oof - qfo)
+                ownq1 = jnp.concatenate(
+                    [xic, yic, zic, ones_r], axis=1
+                )                                              # (R, 4)
+                t2h = _geo_dot(
+                    H, ownq1, (((0,), (0,)), ((), ())), big_first=False
+                )                                              # (4, 4W)
+                q43 = jnp.concatenate([qx4, qy4, qz4], axis=0)
+                ut = t1t + t2h[0:3] - q43 * t2h[3:4]           # (3, 4W)
                 for h in range(NT):
                     j0 = j0_ref[1 + h, c * T + t]
                     a = pl.multiple_of(j0 // 128 * 128, 128)
@@ -722,14 +843,10 @@ def _matvec_kernel(
                         w, j0 - a, 1
                     )
 
-        # --- flush: forward combine + one aligned 128-lane RMW per comp
+        # --- flush: one aligned 128-lane RMW per component per column
         a = pl.multiple_of(c // 128 * 128, 128)
         for r in range(3):
-            col = (
-                acc_ref[SYM[r][0], :, 0:1]
-                + acc_ref[SYM[r][1], :, 1:2]
-                + acc_ref[SYM[r][2], :, 2:3]
-            )                                                  # (S, 1)
+            col = acc_ref[:, r:r + 1]                          # (S, 1)
             placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
             u_ref[r, :, pl.ds(a, 128)] += placed
 
@@ -747,21 +864,26 @@ def _matvec_kernel(
             u2_ref[ci, h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 
 
-@partial(jax.jit, static_argnames=("spec", "self_mobility", "interpret",
+@partial(jax.jit, static_argnames=("spec", "self_mobility", "L", "interpret",
                                    "parts", "cols_per_step"))
 def matvec_banded(
-    blocks: jax.Array,         # (1, C, 6, S, 5W) from build_banded_blocks
+    blocks: jax.Array,         # (1, C, 2, S, 5W) from build_banded_blocks
+    bins: CellBins,            # z-sorted columns (coordinates for the ddᵀ)
+    tilt_xy,
     j0: jax.Array,             # (O, C, T) int32
     n_valid: jax.Array,        # (C,) int32
+    zsh: jax.Array,            # (O, C, T) f32 from compute_windows
     spec: BandSpec,
     f_cells: jax.Array,        # (3, C, S) f32 — padded slots MUST be zero
     self_mobility,
+    L: tuple,                  # static (Lx, Ly, Lz)
     interpret: bool = False,
     parts: str = "both",       # "fwd"/"t"/"none": timing probes (WRONG result)
     cols_per_step: int | None = None,
 ) -> jax.Array:
-    """u = M_real · f in column layout: one streamed read of the half band,
-    applied forward and transposed (the mirror offsets)."""
+    """u = M_real · f in column layout: one streamed read of the half band's
+    (imrr, bco/d²) coefficients, applied forward and transposed (the mirror
+    offsets) with the dyadic geometry rebuilt in-kernel."""
     O = len(spec.offsets)
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
@@ -769,9 +891,16 @@ def matvec_banded(
     W = spec.window
     f_cells = f_cells.astype(jnp.float32)
     sext = _sext_of(spec)                     # cyclic-window lane extent
-    f_pad = jnp.pad(f_cells, ((0, 0), (0, 0), (0, sext - S)))
+    pos = jnp.stack([bins.px, bins.py, bins.pz], axis=0)       # (3, C, S)
+    fp = jnp.concatenate([f_cells, pos], axis=0)               # (6, C, S)
+    fp_pad = jnp.pad(fp, ((0, 0), (0, 0), (0, sext - S)))
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     c_pad = -(-C // 128) * 128                # aligned lane stores
+    pos_t = jnp.pad(pos.transpose(0, 2, 1),
+                    ((0, 0), (0, 0), (0, c_pad - C)))          # (3, S, c_pad)
+    f_t = jnp.pad(f_cells.transpose(0, 2, 1),
+                  ((0, 0), (0, 0), (0, c_pad - C)))
+    tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
     if cols_per_step is None:
         # The A stream is DMA-bound with a fixed per-grid-step cost:
@@ -779,14 +908,16 @@ def matvec_banded(
         # double-buffered block under ~32 MB of VMEM.
         budget = 16 * 2 ** 20
         cols_per_step = next(
-            (d for d in (4, 3, 2) if C % d == 0
-             and d * 6 * S * N_HALF * W * blocks.dtype.itemsize <= budget),
+            (d for d in (8, 6, 4, 3, 2) if C % d == 0
+             and d * 2 * S * N_HALF * W * blocks.dtype.itemsize <= budget),
             1,
         )
     cps = cols_per_step
 
     j0_flat = j0[:N_HALF].reshape(N_HALF, -1)   # SMEM budget: stored offsets only
-    kernel = partial(_matvec_kernel, spec=spec, cps=cps, parts=parts)
+    zsh_flat = zsh[:N_HALF].reshape(N_HALF, -1)
+    kernel = partial(_matvec_kernel, spec=spec,
+                     L=tuple(float(x) for x in L), cps=cps, parts=parts)
 
     u_t, u2 = pl.pallas_call(
         kernel,
@@ -794,11 +925,15 @@ def matvec_banded(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec((1, cps, 6, S, N_HALF * W),
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # zsh (whole)
+            pl.BlockSpec((1, cps, 2, S, N_HALF * W),
                          lambda g: (0, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # fp_pad (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # pos_t (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_t (whole)
         ],
         out_specs=[
             pl.BlockSpec(
@@ -817,9 +952,9 @@ def matvec_banded(
             jax.ShapeDtypeStruct((C, N_HALF - 1, 3, S), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((6, S, 3), jnp.float32),
+            pltpu.VMEM((S, 3), jnp.float32),
             pltpu.VMEM((N_HALF - 1, 3, sext), jnp.float32),
-            pltpu.VMEM((N_HALF, 3, sext), jnp.float32),
+            pltpu.VMEM((N_HALF, 6, sext), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -828,7 +963,8 @@ def matvec_banded(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, j0_flat, blocks, f_pad)
+    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, blocks, fp_pad, pos_t,
+      f_t)
 
     u = u_t[:, :, :C].transpose(0, 2, 1)                # (3, C, S) forward
     # Mirror contributions: u2[c, h] holds what column c's blocks

@@ -141,7 +141,8 @@ def test_banded_kernels_match_reference_interpret():
         zsh, interpret=True,
     )
     u_kernel = bdn.matvec_banded(
-        blocks, j0, nv, bs, f_cells, p.self_mobility, interpret=True
+        blocks, bins, box.tilt_xy, j0, nv, zsh, bs, f_cells,
+        p.self_mobility, p.L, interpret=True,
     )
     u_ref = bdn.matvec_banded_reference(
         bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,

@@ -92,7 +92,7 @@ def main():
         C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
         S = bs.bins.cap
         W = bs.window
-        a_bytes = (C * 6 * S * bdn.N_HALF * W
+        a_bytes = (C * 2 * S * bdn.N_HALF * W
                    * jnp.dtype(bs.block_dtype).itemsize)
         label = f"parts={parts} R={rows} W={W} S={S} cps={cps or 'auto'}"
         print(f"[{label}] C={C} A={a_bytes/1e9:.3f} GB", flush=True)
@@ -117,7 +117,8 @@ def main():
             def many_matvecs(blocks_, j0_, nv_, fc):
                 def body(v, _):
                     u = bdn.matvec_banded(
-                        blocks_, j0_, nv_, bs, v, p.self_mobility, parts=parts,
+                        blocks_, bins, box.tilt_xy, j0_, nv_, zsh, bs, v,
+                        p.self_mobility, p.L, parts=parts,
                         cols_per_step=cps or None,
                     )
                     return u * (1.0 / jnp.maximum(jnp.max(jnp.abs(u)),
