@@ -604,40 +604,49 @@ def build_banded_blocks(
         interpret=interpret,
     )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, posm_pad, posm_t)
 
-
 def _matvec_kernel(
-    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, a_ref, fp_ref, pt_ref,
-    ft_ref,
-    u_ref, u2_ref,
-    acc_ref, acct_ref, fpcyc_ref, *,
+    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, a_ref, own_ref, fp_ref,
+    u_ref,
+    acct_ref, fpcyc_ref, lhsf_ref, lhst_ref, own6_ref, *,
     spec: BandSpec, L, cps: int, parts: str = "both",
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
     column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
 
-      * forward: u[c] rows += A(c,h) · f(window of c+h) — one (6R, 5W) MXU
-        dot per tile against the concatenated windows;
-      * transposed (the 4 mirror offsets): u[c+h] windows += A(c,h)ᵀ ·
+      * forward: u[c] rows += (imrr·I + (bco/d²)·ddᵀ) · f(window of c+h),
+        written into the h=0 slot of the per-column output block;
+      * transposed (the 4 mirror offsets): u[c+h] windows += block ᵀ ·
         f(rows of c), accumulated per target offset in cyclic-rank
         coordinates in a VMEM scratch, wrap-folded once per column, and
-        written to the (C, 4, 3, S) side output at the OWN column — the
-        caller rolls those onto the target columns in XLA (4 cheap
-        (C,3,S) rolls; one output DMA per grid step instead of four).
-
-    ``cps`` columns are processed per grid step: the A stream is DMA-bound
-    (measured ~10-14 µs/step against a 5.3 µs DMA floor for the 4.3 MB
-    block at cps=1 — per-step issue overheads dominate), so fewer, larger
-    transfers buy real time.
+        written to slots h=1..4 of the same output at the OWN column — the
+        caller rolls those onto the target columns in XLA.
 
     Storage-reduced A: only (imrr, bco/d²) are streamed; the dyadic ddᵀ
     part of each pair block is reconstructed here from the prefolded
-    coordinates (exactly the build kernel's scalar-shift geometry), so
-    u_k(r) = Σ_w imrr·f_k + G·d_k with G = (bco/d²)·(d·f).  3x less HBM
-    traffic for ~20 extra VPU ops per pair — the right trade for a
-    DMA-bound kernel.
+    coordinates (the build kernel's exact scalar-shift geometry).  With
+    d_k(r,w) = own_k(r) - q_k(w) every dyadic sum separates,
 
-    Rows live on sublanes; the forward result hits the (3, S, C) transposed
-    output with one aligned 128-lane RMW per component per column."""
+        of(r,w)   = Σ_k own_k·f_k(w)            (MXU, K=3)
+        G         = (bco/d²)·(of - qf)          (VPU, qf a (1,5W) row)
+        Σ_w G·d_k = own_k·Σ_w G - Σ_w G·q_k     (forward)
+        Σ_r H·d_k = Σ_r H·own_k - q_k·Σ_r H     (transposed)
+
+    so the per-pair d arrays are never materialized and each side needs
+    exactly ONE wide MXU dot: the isotropic F1 contraction, the coordinate
+    contractions, and the plain Σ ride together as extra lhs rows
+    ([f; q_hi; 1; q_lo] against [F1; G]) — per-tile dot-launch overhead
+    was the measured cost, not MXU throughput.  Coordinates are recentred
+    on the tile's first own row (valid slots are a column prefix, so it is
+    a real particle whenever the tile has any pair) and enter bf16 dots as
+    hi+lo pairs: ~16 mantissa bits where a single bf16 pass would alias
+    ~0.4% of |coordinate| onto d as large relative error.
+
+    ``cps`` columns are processed per grid step: the A stream has a fixed
+    per-grid-step issue cost, so fewer, larger transfers buy real time.
+
+    Junk lanes/rows (pad slots, beyond-band, cyclic wrap junk) all carry
+    finite junk coordinates but zero F1/Bq (mask and cutoff folded at
+    build), so every product drops them."""
     ncx, ncy, _ = spec.bins.n_cells
     S = spec.bins.cap
     R = spec.rows
@@ -645,60 +654,51 @@ def _matvec_kernel(
     T = S // R
     NT = N_HALF - 1                       # transposed (mirror) offsets
     SEXT = acct_ref.shape[-1]
+    W4 = NT * W
 
     g = pl.program_id(0)
-
-    @pl.when(g == 0)
-    def _zero_out():
-        u_ref[:] = jnp.zeros_like(u_ref)
-
     a_dtype = a_ref.dtype
-    precision = (
-        jax.lax.Precision.HIGHEST if a_dtype == jnp.float32 else None
-    )
-    # The geometry dots contract f32 coordinates (|q| up to ~rcut + tile
-    # span) against f32 G/H; a single bf16 MXU pass would round q to ~0.4%
-    # of ITS magnitude — amplified by |q|/|d| on near pairs, past the
-    # banded==blocked 2.5e-4 gate.  Precision.HIGHEST fixes that but
-    # splits BOTH operands hi/lo on the VPU (measured +1.5 ms/matvec);
-    # instead split only the SMALL coordinate operand into bf16 hi+lo
-    # (~16 mantissa bits) and run two single-pass bf16 dots — the big
-    # G/H operand is cast once (0.4% relative on the dyadic term, the
-    # same rounding class as the bf16 f cast in the isotropic dot).
-    def _geo_dot(big, small, dims, big_first):
-        if a_dtype == jnp.float32:
-            ops = (big, small) if big_first else (small, big)
-            return jax.lax.dot_general(
-                *ops, dimension_numbers=dims,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        b16 = big.astype(jnp.bfloat16)
-        s_hi = small.astype(jnp.bfloat16)
-        s_lo = (small - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = None
-        for s in (s_hi, s_lo):
-            ops = (b16, s) if big_first else (s, b16)
-            d = jax.lax.dot_general(
-                *ops, dimension_numbers=dims,
-                preferred_element_type=jnp.float32,
-            )
-            out = d if out is None else out + d
-        return out
+    is_f32 = a_dtype == jnp.float32
+    precision = jax.lax.Precision.HIGHEST if is_f32 else None
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
     row6 = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
     tilt = tilt_ref[0]
-    ones_w = jnp.ones((1, N_HALF * W), jnp.float32)
-    ones_r = jnp.ones((R, 1), jnp.float32)
+    ones_w = jnp.ones((1, N_HALF * W), a_dtype)
+    ones_r = jnp.ones((1, R), a_dtype)
 
+    def split16(x):
+        """f32 -> (bf16 hi, bf16 lo); the f32 path keeps the exact value."""
+        if is_f32:
+            return (x,)
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def fused_rows(ref, base, coords, ones_row):
+        """lhs rows [base; hi(coords); 1; (lo(coords))] for a fused dot,
+        assembled through an f32 scratch — Mosaic rejects sublane concats
+        whose pieces land at non-8-multiple offsets, and bf16 VMEM packs
+        two logical rows per physical sublane, so partial-row bf16 stores
+        at odd offsets corrupt their pair row on real hardware (interpret
+        mode passed, the on-TPU gate caught 12%).  bf16 values round-trip
+        exactly through f32, so the hi/lo split survives the cast at read.
+        """
+        ps = split16(coords)
+        ref[0:3] = base.astype(jnp.float32)
+        ref[3:6] = ps[0].astype(jnp.float32)
+        ref[6:7] = ones_row.astype(jnp.float32)
+        if len(ps) > 1:
+            ref[7:10] = ps[1].astype(jnp.float32)
+            return ref[0:10].astype(a_dtype)
+        return ref[0:7].astype(a_dtype)
+
+    nb = 3                                # rows in `base`
     for ci in range(cps):
         c = g * cps + ci
         acct_ref[:] = jnp.zeros_like(acct_ref)
         cx = jax.lax.div(c, ncy)
         cy = jax.lax.rem(c, ncy)
 
-        nbrs = []
         nvs = []
         # One cyclic prefold per (column, offset) of the STACKED (f, pos)
         # columns: window reads below become a single aligned read + roll
@@ -709,7 +709,6 @@ def _matvec_kernel(
             ox = offs_ref[h, 0]
             oy = offs_ref[h, 1]
             nbr = _neighbor_column(c, ox, oy, ncx, ncy)
-            nbrs.append(nbr)
             nv = nv_ref[nbr]
             nvs.append(nv)
             wx = jnp.where(cx + ox >= ncx, 1.0,
@@ -728,36 +727,22 @@ def _matvec_kernel(
             )
             fpcyc_ref[h] = folded + adj
 
-        # Own-column rows on sublanes (coordinates + forces), from the
-        # pre-transposed lane-padded copies: a 128-aligned wide read +
-        # rotate per component (dynamic lane loads must be 128-aligned).
-        ca = pl.multiple_of(c // 128 * 128, 128)
-
-        def col_read(ref, k):
-            wide = ref[k, :, pl.ds(ca, 128)]                # (S, 128)
-            return pltpu.roll(wide, ca - c, 1)[:, :1]       # (S, 1)
-
-        xi_col = col_read(pt_ref, 0)
-        yi_col = col_read(pt_ref, 1)
-        zi_col = col_read(pt_ref, 2)
-        fox_col = col_read(ft_ref, 0)
-        foy_col = col_read(ft_ref, 1)
-        foz_col = col_read(ft_ref, 2)
-
         for t in range(T):
             sl = slice(t * R, (t + 1) * R)
             a_tile = a_ref[0, ci, :, sl, :]                    # (2, R, 5W)
             if parts == "none":
                 # pure-stream probe: touch A minimally so the fetch
                 # pipeline runs but (almost) no compute issues
-                acc_ref[sl, 0:1] = a_tile[0, :, 0:1].astype(jnp.float32)
+                u_ref[ci, 0, 0:1, t * R:(t + 1) * R] = (
+                    a_tile[0, 0:1, 0:R].astype(jnp.float32)
+                )
                 continue
             F1 = a_tile[0]                                     # (R, 5W)
-            Bq = a_tile[1].astype(jnp.float32)                 # bco/d²
+            Bq = a_tile[1]                                     # bco/d²
 
             # Windows: one wide read + roll per offset of the stacked
             # (f, coords) cyclic array; the per-tile z image shift (zsh)
-            # folds into the window z so dz below is exact.
+            # folds into the window z so dz is exact.
             wins = []
             for h in range(N_HALF):
                 j0h = j0_ref[h, c * T + t]
@@ -767,72 +752,101 @@ def _matvec_kernel(
                 zq = win[5:6] - zsh_ref[h, c * T + t]
                 wins.append(jnp.concatenate([win[0:5], zq], axis=0))
             fq = jnp.concatenate(wins, axis=1)                 # (6, 5W)
-            fw = fq[0:3]                                       # forces
-            # Pair geometry, never materialized per pair: with
-            # d_k(r,w) = own_k(r) - q_k(w) the dyadic sums separate,
-            #   Σ_w G·d_k = own_k·Σ_w G - Σ_w G·q_k       (forward)
-            #   Σ_r H·d_k = Σ_r H·own_k - q_k·Σ_r H       (transposed)
-            # so both reduce to ONE MXU dot against [q; 1] / [own, 1]
-            # (the ones column yields the plain sum) — VPU lane/sublane
-            # reductions and the (R, 5W) d arrays disappear.  Coordinates
-            # are recentred on the tile's first row to keep the two
-            # cancelling terms small (f32 noise ~|coord|·eps).
-            # Junk lanes (pad slots, beyond-band) carry finite junk
-            # coordinates but their F1/Bq are zero (mask and cutoff folded
-            # at build), so every product below drops them.
-            xi = xi_col[sl]                                    # (R, 1)
-            yi = yi_col[sl]
-            zi = zi_col[sl]
-            ccx, ccy, ccz = xi[0:1], yi[0:1], zi[0:1]          # (1, 1)
-            xic, yic, zic = xi - ccx, yi - ccy, zi - ccz
-            qx = fq[3:4] - ccx                                 # (1, 5W)
-            qy = fq[4:5] - ccy
-            qz = fq[5:6] - ccz
-            qf = qx * fw[0:1] + qy * fw[1:2] + qz * fw[2:3]    # (1, 5W)
-            of = xic * fw[0:1] + yic * fw[1:2] + zic * fw[2:3]
-            G = Bq * (of - qf)                                 # (R, 5W)
+            fw = fq[0:3]
+            fw16 = fw.astype(a_dtype)
+
+            own8 = own_ref[ci, t]                              # (R, 8)
+            cc_s = own8[0:1, 0:3]                              # (1, 3)
+            own3 = own8[:, 0:3] - cc_s                         # (R, 3)
+            fo3 = own8[:, 3:6]                                 # (R, 3)
+            ccl = fpcyc_ref[0, 3:6, t * R:t * R + 1]           # (3, 1)
+            q = fq[3:6] - ccl                                  # (3, 5W)
+            ownl = fpcyc_ref[0, 3:6, sl.start:sl.stop] - ccl   # (3, R)
+            fol = fpcyc_ref[0, 0:3, sl.start:sl.stop]          # (3, R)
+
+            # of = own·f window via ONE MXU dot (per-tile dot-launch
+            # overhead is the measured cost): hi/lo coordinate parts side
+            # by side on K against a doubled [fw; fw] rhs, both assembled
+            # through scratch (misaligned concats are rejected).
+            ps = split16(own3)
+            if is_f32:
+                of = jax.lax.dot_general(
+                    ps[0], fw16,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )                                              # (R, 5W)
+            else:
+                own6_ref[:, 0:3] = ps[0].astype(jnp.float32)
+                own6_ref[:, 3:6] = ps[1].astype(jnp.float32)
+                lhsf_ref[10:13] = fw
+                lhsf_ref[13:16] = fw
+                of = jax.lax.dot_general(
+                    own6_ref[:, 0:6].astype(a_dtype),
+                    lhsf_ref[10:16].astype(a_dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                              # (R, 5W)
+            qf = jnp.sum(q * fw, axis=0, keepdims=True)        # (1, 5W)
+            # G stays in storage dtype: (of - qf) is the contracted d·f —
+            # rounding it 0.4% RELATIVE is benign (unlike rounding raw
+            # coordinates), and it saves three full-width f32 passes.
+            G16 = Bq * (of - qf).astype(a_dtype)               # (R, 5W)
 
             if parts in ("both", "fwd"):
-                t1 = jax.lax.dot_general(
-                    F1, fw.astype(a_dtype),
+                lhs = fused_rows(lhsf_ref, fw16, q, ones_w)
+                rhs = jnp.concatenate([F1, G16], axis=0)       # (2R, 5W)
+                res = jax.lax.dot_general(
+                    lhs, rhs,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )                                              # (R, 3)
-                q1 = jnp.concatenate([qx, qy, qz, ones_w], axis=0)
-                t2g = _geo_dot(
-                    G, q1, (((1,), (1,)), ((), ())), big_first=True
-                )                                              # (R, 4)
-                own3 = jnp.concatenate([xic, yic, zic], axis=1)
-                acc_ref[sl, :] = t1 + own3 * t2g[:, 3:4] - t2g[:, 0:3]
+                )                                              # (nl, 2R)
+                t1 = res[0:nb, 0:R]                            # (3, R)
+                qg = res[nb:nb + 3, R:]
+                if not is_f32:
+                    qg = qg + res[nb + 4:nb + 7, R:]
+                gsum = res[nb + 3:nb + 4, R:]                  # (1, R)
+                u_ref[ci, 0, :, sl] = t1 + ownl * gsum - qg
 
             if parts in ("both", "t"):
-                # --- transposed: uT_k(w) = Σ_r F1·f_own_k(r) + H·d_k for
-                # the 4 non-self offsets at once (lanes [W, 5W)), with
-                # H = (bco/d²)·(d·f_own).  Own rows come from the
-                # pre-transposed force copy (sublane layout, exact slots).
-                fox = fox_col[sl]                              # (R, 1)
-                foy = foy_col[sl]
-                foz = foz_col[sl]
-                f_own = jnp.concatenate([fox, foy, foz], axis=1)
-                t1t = jax.lax.dot_general(
-                    f_own.astype(a_dtype), F1[:, W:],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                # transposed: uT_k(w) = Σ_r F1·f_own_k(r) + H·d_k for the
+                # 4 non-self offsets at once (lanes [W, 5W)), with
+                # H = (bco/d²)·(d·f_own).
+                F14 = F1[:, W:]
+                q4 = q[:, W:]                                  # (3, 4W)
+                oof = jnp.sum(own3 * fo3, axis=1, keepdims=True)
+                # qfo(r,w) = Σ_k fo_k(r)·q_k(w): ONE K=7 dot against the
+                # [q_hi; 1; q_lo] rows the forward lhs already split (the
+                # ones row is nulled by a zero lhs column).
+                own6_ref[:, 0:3] = fo3
+                own6_ref[:, 3:4] = jnp.zeros_like(fo3[:, 0:1])
+                nk = 4 if is_f32 else 7                        # [q;1(;q_lo)]
+                if not is_f32:
+                    own6_ref[:, 4:7] = fo3
+                qfo = jax.lax.dot_general(
+                    own6_ref[:, 0:nk].astype(a_dtype),
+                    lhsf_ref[3:3 + nk, W:].astype(a_dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )                                              # (3, 4W)
-                qx4, qy4, qz4 = qx[:, W:], qy[:, W:], qz[:, W:]
-                oof = xic * fox + yic * foy + zic * foz        # (R, 1)
-                qfo = qx4 * fox + qy4 * foy + qz4 * foz        # (R, 4W)
-                H = Bq[:, W:] * (oof - qfo)
-                ownq1 = jnp.concatenate(
-                    [xic, yic, zic, ones_r], axis=1
-                )                                              # (R, 4)
-                t2h = _geo_dot(
-                    H, ownq1, (((0,), (0,)), ((), ())), big_first=False
-                )                                              # (4, 4W)
-                q43 = jnp.concatenate([qx4, qy4, qz4], axis=0)
-                ut = t1t + t2h[0:3] - q43 * t2h[3:4]           # (3, 4W)
+                )                                              # (R, 4W)
+                H16 = Bq[:, W:] * (oof - qfo).astype(a_dtype)  # (R, 4W)
+                lhs2 = fused_rows(lhst_ref, fol.astype(a_dtype), ownl,
+                                  ones_r)
+                rhs2 = jnp.concatenate([F14, H16], axis=1)     # (R, 8W)
+                res2 = jax.lax.dot_general(
+                    lhs2, rhs2,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )                                              # (nl, 8W)
+                t1t = res2[0:nb, 0:W4]
+                oh = res2[nb:nb + 3, W4:]
+                if not is_f32:
+                    oh = oh + res2[nb + 4:nb + 7, W4:]
+                hsum = res2[nb + 3:nb + 4, W4:]
+                ut = t1t + oh - q4 * hsum                      # (3, 4W)
                 for h in range(NT):
                     j0 = j0_ref[1 + h, c * T + t]
                     a = pl.multiple_of(j0 // 128 * 128, 128)
@@ -842,13 +856,6 @@ def _matvec_kernel(
                     acct_ref[h, :, pl.ds(a, W + 128)] += pltpu.roll(
                         w, j0 - a, 1
                     )
-
-        # --- flush: one aligned 128-lane RMW per component per column
-        a = pl.multiple_of(c // 128 * 128, 128)
-        for r in range(3):
-            col = acc_ref[:, r:r + 1]                          # (S, 1)
-            placed = pltpu.roll(jnp.pad(col, ((0, 0), (0, 127))), c - a, 1)
-            u_ref[r, :, pl.ds(a, 128)] += placed
 
         # transposed fold: cyclic ranks -> slots.  Ranks < nv are slots;
         # ranks in [nv, nv+W) wrap to slots [0, W).  Positions >= nv of the
@@ -861,7 +868,7 @@ def _matvec_kernel(
             tail_w = pltpu.roll(
                 acct_ref[h, :, pl.ds(a2, W + 128)], a2 - nv, 1
             )[:, :W]
-            u2_ref[ci, h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
+            u_ref[ci, 1 + h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 
 
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "L", "interpret",
@@ -888,38 +895,43 @@ def matvec_banded(
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
+    R = spec.rows
     W = spec.window
+    T = S // R
     f_cells = f_cells.astype(jnp.float32)
     sext = _sext_of(spec)                     # cyclic-window lane extent
     pos = jnp.stack([bins.px, bins.py, bins.pz], axis=0)       # (3, C, S)
     fp = jnp.concatenate([f_cells, pos], axis=0)               # (6, C, S)
     fp_pad = jnp.pad(fp, ((0, 0), (0, 0), (0, sext - S)))
+    # Own rows in sublane layout, streamed alongside A — reading a column
+    # out of a lane-major array in-kernel needs a 128-wide read + rotate
+    # per component (measured ~0.2 ms/matvec); this costs one cheap XLA
+    # transpose instead.
+    own_io = jnp.concatenate(
+        [pos, f_cells, jnp.zeros((2,) + pos.shape[1:], jnp.float32)], axis=0
+    ).transpose(1, 2, 0).reshape(C, T, R, 8)
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
-    c_pad = -(-C // 128) * 128                # aligned lane stores
-    pos_t = jnp.pad(pos.transpose(0, 2, 1),
-                    ((0, 0), (0, 0), (0, c_pad - C)))          # (3, S, c_pad)
-    f_t = jnp.pad(f_cells.transpose(0, 2, 1),
-                  ((0, 0), (0, 0), (0, c_pad - C)))
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
     if cols_per_step is None:
-        # The A stream is DMA-bound with a fixed per-grid-step cost:
-        # amortize it over the largest divisor of C that keeps the
-        # double-buffered block under ~32 MB of VMEM.
-        budget = 16 * 2 ** 20
+        # The A stream has a fixed per-grid-step issue cost: amortize over
+        # a few columns per step, but keep blocks small enough that the
+        # parallel grid's multi-buffering fits VMEM (cps=4 measured best;
+        # 6/8 were 10-15% slower and 24 blew the 100 MB scoped limit).
+        budget = 8 * 2 ** 20
         cols_per_step = next(
-            (d for d in (8, 6, 4, 3, 2) if C % d == 0
+            (d for d in (4, 3, 2) if C % d == 0
              and d * 2 * S * N_HALF * W * blocks.dtype.itemsize <= budget),
             1,
         )
     cps = cols_per_step
 
-    j0_flat = j0[:N_HALF].reshape(N_HALF, -1)   # SMEM budget: stored offsets only
+    j0_flat = j0[:N_HALF].reshape(N_HALF, -1)   # SMEM budget: stored offsets
     zsh_flat = zsh[:N_HALF].reshape(N_HALF, -1)
     kernel = partial(_matvec_kernel, spec=spec,
                      L=tuple(float(x) for x in L), cps=cps, parts=parts)
 
-    u_t, u2 = pl.pallas_call(
+    uo = pl.pallas_call(
         kernel,
         grid=(C // cps,),
         in_specs=[
@@ -931,47 +943,44 @@ def matvec_banded(
             pl.BlockSpec((1, cps, 2, S, N_HALF * W),
                          lambda g: (0, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
+            pl.BlockSpec((cps, T, R, 8), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # own rows
             pl.BlockSpec(memory_space=pltpu.VMEM),        # fp_pad (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # pos_t (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_t (whole)
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (3, S, c_pad), lambda g: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            # Mirror contributions at the OWN column (one DMA per step);
-            # the caller rolls them onto the target columns in XLA.
-            # Column axis LEADING so the block's minor dims (3, S) equal
-            # the array dims — the Mosaic (8, 128) block-divisibility rule
-            # only exempts full dimensions.
-            pl.BlockSpec((cps, N_HALF - 1, 3, S), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, S, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((C, N_HALF - 1, 3, S), jnp.float32),
-        ],
+        # Forward result (slot 0) and mirror contributions (slots 1..4) at
+        # the OWN column, one output DMA per grid step; the caller rolls
+        # the mirrors onto their target columns in XLA.  Column axis
+        # LEADING so the block's minor dims (3, S) equal the array dims —
+        # the Mosaic (8, 128) block-divisibility rule only exempts full
+        # dimensions.
+        out_specs=pl.BlockSpec((cps, N_HALF, 3, S), lambda g: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N_HALF, 3, S), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((S, 3), jnp.float32),
             pltpu.VMEM((N_HALF - 1, 3, sext), jnp.float32),
             pltpu.VMEM((N_HALF, 6, sext), jnp.float32),
+            pltpu.VMEM((16, N_HALF * W), jnp.float32),
+            pltpu.VMEM((16, R), jnp.float32),
+            pltpu.VMEM((R, 8), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # Every output element is written by its own grid step (no
+            # cross-step accumulation since the forward result moved into
+            # the per-column block), so steps may overlap freely.
+            dimension_semantics=("parallel",),
             # default scoped-vmem limit is 16 MB; the double-buffered
-            # multi-column A stream plus the VMEM-resident outputs need more
+            # multi-column A stream plus the VMEM-resident inputs need more
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, blocks, fp_pad, pos_t,
-      f_t)
+    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, blocks, own_io, fp_pad)
 
-    u = u_t[:, :, :C].transpose(0, 2, 1)                # (3, C, S) forward
-    # Mirror contributions: u2[c, h] holds what column c's blocks
+    u = jnp.moveaxis(uo[:, 0], 1, 0)                    # (3, C, S) forward
+    # Mirror contributions: uo[c, 1+h] holds what column c's blocks
     # contribute to column c+offsets[1+h] — roll each onto its target.
     for h in range(N_HALF - 1):
         ox, oy = spec.offsets[1 + h]
         u = u + jnp.moveaxis(
-            roll_cells(u2[:, h], spec.bins, (-ox, -oy, 0)), 1, 0
+            roll_cells(uo[:, 1 + h], spec.bins, (-ox, -oy, 0)), 1, 0
         )
     return u + self_mobility * f_cells
