@@ -117,10 +117,15 @@ def make_band_spec(
     cap = int(math.ceil((mu + 4.0 * math.sqrt(mu) + 8.0) / rows)) * rows
 
     # Expected band: ranks within 2*rcut of z, plus the tile extent, plus
-    # slack for occupancy fluctuations between neighboring columns.
+    # slack for occupancy fluctuations between neighboring columns
+    # (~5 sigma + 10; at the 64-lane granularity the REALIZED slack is
+    # always at least this and usually far larger, and overflow is a
+    # recoverable regrow, not a wrong answer).  Windows are multiples of
+    # 64: A bytes, build evaluation, and matvec VPU work all scale with W,
+    # so a 64-lane window at high xi / tall boxes is a ~1.6x lever.
     band = 2.0 * rcut / L[2] * mu
-    need = band + rows + 6.0 * math.sqrt(max(band, 1.0)) + 16.0
-    window = int(math.ceil(need / 128.0)) * 128
+    need = band + rows + 5.0 * math.sqrt(max(band, 1.0)) + 10.0
+    window = max(64, int(math.ceil(need / 64.0)) * 64)
     if window > 256 or cap < window:
         return None                            # banded layout not profitable
     return BandSpec(
@@ -218,11 +223,17 @@ def extend_slots(arr: jax.Array, spec: BandSpec) -> jax.Array:
     return jnp.concatenate([arr, tail], axis=-1)
 
 
+def _read_width(spec: BandSpec) -> int:
+    """Width of the kernels' 128-aligned window reads: covers any j0's
+    (W)-wide band from the preceding 128-boundary, rounded up to a full
+    128-lane tile so pltpu.roll sees a 128-multiple lane dim."""
+    return -(-(spec.window + 128) // 128) * 128
+
+
 def _sext_of(spec: BandSpec) -> int:
     """Lane extent of the kernels' cyclic-window arrays: room for a
-    128-aligned (W + 128)-wide read starting at any j0 < cap, rounded to
-    the 128-lane tile."""
-    return -(-(spec.bins.cap + spec.window + 128) // 128) * 128
+    128-aligned _read_width read starting at any aligned-down j0 <= cap."""
+    return (spec.bins.cap // 128) * 128 + _read_width(spec)
 
 
 def _cyclic_prefold(col, nv, sext, shifts=None):
@@ -449,10 +460,15 @@ def matvec_banded_reference(
 
 
 def _build_kernel(
-    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, posm_ref, posm_t_ref, a_ref,
+    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, posm_ref, own_ref, a_ref,
     pcyc_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2,
 ):
+    """Grid (column,): all N_HALF stored offsets of one column per step —
+    windows concatenate on the lane axis so the Chebyshev pair evaluation
+    runs once on (R, 5W) per tile (one write per component instead of
+    five) and the column's own rows / prefolds are shared by all offsets.
+    """
     ncx, ncy, _ = spec.bins.n_cells
     S = spec.bins.cap
     R = spec.rows
@@ -461,67 +477,71 @@ def _build_kernel(
     SEXT = pcyc_ref.shape[-1]
     dtype = jnp.dtype(spec.block_dtype)
 
-    o_i = pl.program_id(0)
-    c = pl.program_id(1)
-    ox = offs_ref[o_i, 0]
-    oy = offs_ref[o_i, 1]
+    c = pl.program_id(0)
     tilt = tilt_ref[0]
     cx = jax.lax.div(c, ncy)
     cy = jax.lax.rem(c, ncy)
-    nbr = _neighbor_column(c, ox, oy, ncx, ncy)
-    nv = nv_ref[nbr]
-    # Periodic xy image of the neighbor column as SCALAR shifts (the tilted
-    # box shifts x by tilt*Ly per y image) — folded into the prefold so the
-    # pair math needs no per-pair minimum-image rounds.
-    wx = jnp.where(cx + ox >= ncx, 1.0, jnp.where(cx + ox < 0, -1.0, 0.0))
-    wy = jnp.where(cy + oy >= ncy, 1.0, jnp.where(cy + oy < 0, -1.0, 0.0))
-    sy = wy * L[1]
-    sx = wx * L[0] + tilt * sy
-    # Cyclic prefold of the neighbor column's (x, y, z, mask): one select +
-    # roll per grid step instead of a two-read seam stitch per tile.
-    pcyc_ref[:] = _cyclic_prefold(
-        posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT,
-        shifts=(sx, sy, L[2]),
-    )
+    RW = _read_width(spec)
 
-    # Own column with rows on sublanes, from the pre-transposed lane-padded
-    # copy (avoids in-kernel lane->sublane relayouts).  Lane loads must be
-    # 128-aligned, so read a 128-lane stripe and rotate column c to lane 0.
-    def col_read(k):
-        a = pl.multiple_of(c // 128 * 128, 128)
-        wide = posm_t_ref[k, :, pl.ds(a, 128)]              # (S, 128)
-        return pltpu.roll(wide, a - c, 1)[:, :1]            # (S, 1)
-
-    xi_col = col_read(0)
-    yi_col = col_read(1)
-    zi_col = col_read(2)
-    mi_col = col_read(3)
+    # Cyclic prefold of each neighbor column's (x, y, z, mask): one select
+    # + roll per (column, offset), with the periodic xy image as SCALAR
+    # shifts (the tilted box shifts x by tilt*Ly per y image) — the pair
+    # math needs no per-pair minimum-image rounds.
+    nvs = []
+    for h in range(N_HALF):
+        ox = offs_ref[h, 0]
+        oy = offs_ref[h, 1]
+        nbr = _neighbor_column(c, ox, oy, ncx, ncy)
+        nv = nv_ref[nbr]
+        nvs.append(nv)
+        wx = jnp.where(cx + ox >= ncx, 1.0,
+                       jnp.where(cx + ox < 0, -1.0, 0.0))
+        wy = jnp.where(cy + oy >= ncy, 1.0,
+                       jnp.where(cy + oy < 0, -1.0, 0.0))
+        sy = wy * L[1]
+        sx = wx * L[0] + tilt * sy
+        pcyc_ref[h] = _cyclic_prefold(
+            posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT,
+            shifts=(sx, sy, L[2]),
+        )
 
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    is_self = o_i == 0
-
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     for t in range(T):
-        j0 = j0_ref[o_i, c * T + t]
         sl = slice(t * R, (t + 1) * R)
-        a0 = pl.multiple_of(j0 // 128 * 128, 128)
-        win = pltpu.roll(
-            pcyc_ref[:, pl.ds(a0, W + 128)], a0 - j0, 1
-        )[:, :W]                                                  # (4, W)
-        xj, yj, zj, mj = (win[k:k + 1] for k in range(4))
-        use_main = (j0 + iota_w) < nv
-        lane_ok = iota_w < nv
-        jslot = jnp.where(use_main, j0 + iota_w, j0 + iota_w - nv)
-        mj = jnp.where(lane_ok, mj, 0.0)
+        own8 = own_ref[0, t]                                  # (R, 8)
+        xi = own8[:, 0:1]
+        yi = own8[:, 1:2]
+        zi = own8[:, 2:3]
+        mi = own8[:, 3:4]
+        islot = t * R + iota_r                                # (R, 1)
 
-        islot = t * R + iota_r                              # (R, 1)
-        same = is_self & (jslot == islot)
+        wins = []
+        sames = []
+        for h in range(N_HALF):
+            j0 = j0_ref[h, c * T + t]
+            nv = nvs[h]
+            a0 = pl.multiple_of(j0 // 128 * 128, 128)
+            win = pltpu.roll(
+                pcyc_ref[h, :, pl.ds(a0, RW)], a0 - j0, 1
+            )[:, :W]                                          # (4, W)
+            use_main = (j0 + iota_w) < nv
+            lane_ok = iota_w < nv
+            jslot = jnp.where(use_main, j0 + iota_w, j0 + iota_w - nv)
+            # fold the per-tile z image shift and the lane mask into the
+            # window so one fused (R, 5W) evaluation serves all offsets
+            zw = win[2:3] - zsh_ref[h, c * T + t]
+            mw = jnp.where(lane_ok, win[3:4], 0.0)
+            wins.append(jnp.concatenate([win[0:2], zw, mw], axis=0))
+            sames.append((h == 0) & (jslot == islot))         # (R, W)
+        fq = jnp.concatenate(wins, axis=1)                    # (4, 5W)
+        same = jnp.concatenate(sames, axis=1)                 # (R, 5W)
 
         imrr, bq = _pair_components(
-            xi_col[sl], yi_col[sl], zi_col[sl], mi_col[sl],
-            xj, yj, zj, mj, tilt,
+            xi, yi, zi, mi,
+            fq[0:1], fq[1:2], fq[2:3], fq[3:4], tilt,
             L=L, cheb=cheb, cut2=cut2, dr2=dr2, same_slot=same,
-            zshift=zsh_ref[o_i, c * T + t], geometric=True,
+            zshift=0.0, geometric=True,
         )
         a_ref[0, 0, 0, sl, :] = imrr.astype(dtype)
         a_ref[0, 0, 1, sl, :] = bq.astype(dtype)
@@ -552,15 +572,19 @@ def build_banded_blocks(
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
+    R = spec.rows
     W = spec.window
+    T = S // R
     O = len(spec.offsets)
 
     posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
     sext = _sext_of(spec)
     posm_pad = jnp.pad(posm, ((0, 0), (0, 0), (0, sext - S)))
-    posm_t = posm.transpose(0, 2, 1)                      # (4, S, C) row tiles
-    c_pad = -(-C // 128) * 128                            # aligned lane reads
-    posm_t = jnp.pad(posm_t, ((0, 0), (0, 0), (0, c_pad - C)))
+    # Own rows in sublane layout (in-kernel column reads out of a
+    # lane-major array cost a 128-wide read + rotate per component).
+    own_io = jnp.concatenate(
+        [posm, jnp.zeros((4,) + posm.shape[1:], jnp.float32)], axis=0
+    ).transpose(1, 2, 0).reshape(C, T, R, 8)
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
@@ -579,7 +603,7 @@ def build_banded_blocks(
     )
     return pl.pallas_call(
         kernel,
-        grid=(N_HALF, C),
+        grid=(C,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
@@ -587,22 +611,29 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # zsh (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_t (whole)
+            pl.BlockSpec((1, T, R, 8), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # own rows
         ],
         # Only the half stencil is built (the mirrors are transposes —
         # full_xy_offsets); the 5 stored offsets sit side by side on the
-        # lane axis so the matvec contracts all of them with ONE
-        # (R, 5W) MXU dot per tile.
+        # lane axis so the matvec contracts all of them with ONE wide MXU
+        # dot per tile.
         out_specs=pl.BlockSpec(
-            (1, 1, 2, S, W), lambda o, c: (0, c, 0, 0, o),
+            (1, 1, 2, S, N_HALF * W), lambda c: (0, c, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (1, C, 2, S, N_HALF * W), jnp.dtype(spec.block_dtype)
         ),
-        scratch_shapes=[pltpu.VMEM((4, sext), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N_HALF, 4, sext), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # per-column independent outputs: steps may overlap freely
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, posm_pad, posm_t)
+    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, posm_pad, own_io)
+
 
 def _matvec_kernel(
     offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, a_ref, own_ref, fp_ref,
@@ -655,6 +686,7 @@ def _matvec_kernel(
     NT = N_HALF - 1                       # transposed (mirror) offsets
     SEXT = acct_ref.shape[-1]
     W4 = NT * W
+    RW = _read_width(spec)                # 128-multiple window-read width
 
     g = pl.program_id(0)
     a_dtype = a_ref.dtype
@@ -747,7 +779,7 @@ def _matvec_kernel(
             for h in range(N_HALF):
                 j0h = j0_ref[h, c * T + t]
                 a0 = pl.multiple_of(j0h // 128 * 128, 128)
-                wide = fpcyc_ref[h, :, pl.ds(a0, W + 128)]
+                wide = fpcyc_ref[h, :, pl.ds(a0, RW)]
                 win = pltpu.roll(wide, a0 - j0h, 1)[:, :W]     # (6, W)
                 zq = win[5:6] - zsh_ref[h, c * T + t]
                 wins.append(jnp.concatenate([win[0:5], zq], axis=0))
@@ -851,9 +883,9 @@ def _matvec_kernel(
                     j0 = j0_ref[1 + h, c * T + t]
                     a = pl.multiple_of(j0 // 128 * 128, 128)
                     w = jnp.pad(
-                        ut[:, h * W:(h + 1) * W], ((0, 0), (0, 128))
+                        ut[:, h * W:(h + 1) * W], ((0, 0), (0, RW - W))
                     )
-                    acct_ref[h, :, pl.ds(a, W + 128)] += pltpu.roll(
+                    acct_ref[h, :, pl.ds(a, RW)] += pltpu.roll(
                         w, j0 - a, 1
                     )
 
@@ -866,7 +898,7 @@ def _matvec_kernel(
             a2 = pl.multiple_of(nv // 128 * 128, 128)
             head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
             tail_w = pltpu.roll(
-                acct_ref[h, :, pl.ds(a2, W + 128)], a2 - nv, 1
+                acct_ref[h, :, pl.ds(a2, RW)], a2 - nv, 1
             )[:, :W]
             u_ref[ci, 1 + h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 

@@ -151,6 +151,48 @@ def test_banded_kernels_match_reference_interpret():
     assert _rel(u_kernel, u_ref) < 2e-6
 
 
+def test_banded_w64_window_interpret():
+    """64-lane window geometry (tall box -> narrow band): the kernels'
+    window reads/rolls/slices are exercised at W=64, where every W-offset
+    lane slice is 128-misaligned.  Interpret mode; the TPU behavior is
+    covered by the bench gate at xi where W=64 engages."""
+    from pse_tpu.box import make_box
+    from pse_tpu.cellbins import bin_columns, vec_to_cells
+    from pse_tpu.ops import banded_nearfield as bdn
+    from pse_tpu.ops.chebyshev import fit_pair_functions
+
+    rng = np.random.default_rng(12)
+    n, L = 1300, (24.0, 24.0, 96.0)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    bs = bdn.make_band_spec(n, L, params.ewald_cut, block_dtype="float32")
+    assert bs is not None and bs.window == 64, bs
+    cheb = fit_pair_functions(0.5, params.ewald_dr, params.ewald_cut,
+                              tol=1e-6)
+    pos = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32) * np.array(
+        L, np.float32
+    )
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    box = make_box(L, 0.05)
+    bins = bin_columns(jnp.asarray(pos), box, bs.bins)
+    j0, nv, ovf, zsh = bdn.compute_windows(bins, bs, box, params.ewald_cut)
+    assert not bool(ovf)
+    f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
+
+    blocks = bdn.build_banded_blocks(
+        bins, box.tilt_xy, bs, cheb, params.L, params.ewald_cut,
+        params.ewald_dr, j0, nv, zsh, interpret=True,
+    )
+    u_kernel = bdn.matvec_banded(
+        blocks, bins, box.tilt_xy, j0, nv, zsh, bs, f_cells,
+        params.self_mobility, params.L, interpret=True,
+    )
+    u_ref = bdn.matvec_banded_reference(
+        bins, box.tilt_xy, bs, cheb, params.L, params.ewald_cut,
+        params.ewald_dr, j0, nv, f_cells, params.self_mobility,
+    )
+    assert _rel(u_kernel, u_ref) < 2e-6
+
+
 def test_banded_step_deterministic_and_thermal():
     cfg_g, cfg_b, pos, forces = _setup(1080, 24.0, seed=3, thermal=True)
     state = integrator.make_state(pos)
