@@ -115,7 +115,7 @@ def make_config(
     n_particles: int,
     thermal: bool = True,
     seed: int = 0,
-    m_max: int = 48,
+    m_max: int = 24,
     engine: str = "blocked",
     max_tilt: float | None = None,
     max_neighbors: int | None = None,
@@ -216,6 +216,12 @@ def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
     from .neighbors import grow_spec
 
     changes = {"nbr_spec": grow_spec(config.nbr_spec, factor)}
+    if config.thermal:
+        # Lanczos cap-hit shares the sticky flag: double m_max (the
+        # per-iteration eigh is O(m_max³) and the basis O(m_max·3N), so the
+        # default cap is tight and growth is the recovery path).  100 is the
+        # reference's fixed cap (Brownian.cu:397).
+        changes["m_max"] = min(max(config.m_max * 2, config.m_max + 8), 100)
     if config.nf_spec is not None:
         bins = config.nf_spec.bins
         changes["nf_spec"] = config.nf_spec._replace(
@@ -233,15 +239,21 @@ def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
         )
     if config.band_spec is not None:
         bs = config.band_spec
-        rows = bs.rows
         # Preserve the make_band_spec invariant the kernels were validated
-        # under: window <= 256 and cap >= window.  Band overflow widens the
-        # window up to that cap; past it only cap keeps growing (a persistent
-        # band overflow then surfaces via Simulation.run's retry limit).
-        window = min(bs.window + 128, 256)
+        # under: window <= 256 and cap >= window.  A band overflow is most
+        # cheaply absorbed by SHRINKING the row tile first (halves the
+        # tile z-extent the window must cover, A bytes unchanged); only
+        # then widen the window in 64-lane steps up to 256; past that only
+        # cap keeps growing (a persistent band overflow then surfaces via
+        # Simulation.run's retry limit).
+        if bs.rows > 16:
+            rows, window = 16, bs.window
+        else:
+            rows, window = bs.rows, min(bs.window + 64, 256)
         cap = max(int(-(-bs.bins.cap * factor // rows)) * rows, window)
         changes["band_spec"] = bs._replace(
             bins=bs.bins._replace(cap=cap),
+            rows=rows,
             window=window,             # band overflow shares the sticky flag
         )
     return dataclasses.replace(config, **changes)
@@ -287,8 +299,10 @@ class _BandedCtx(NamedTuple):
     n_valid: jax.Array     # (C,) i32 occupied slots per column
     zsh: jax.Array         # (O, C, T) f32 window z-image shifts
     blocks: object         # (1, C, 2, S, 5W) pair coefficients (None off-TPU)
+    pos_cyc: object        # (C, 5, 3, SEXT) prefolded coords (None off-TPU)
+    own_pos: object        # (C, T, R, 8) own coords (None off-TPU)
     ff_weights: object
-    tilt: jax.Array        # () f32 box tilt (matvec rebuilds the geometry)
+    tilt: jax.Array        # () f32 box tilt (reference matvec needs it)
 
 
 def _pallas_interpret() -> bool:
@@ -396,16 +410,18 @@ def _prepare_banded(config, pos, box):
     # Off-TPU the matvec runs the pure-XLA reference (gathers are fast on
     # CPU; interpret-mode Pallas costs minutes of compile per config), so
     # the pair blocks are only built for real Mosaic execution.
-    blocks = None
+    blocks = pos_cyc = own_pos = None
     if not _pallas_interpret():
-        blocks = bdn.build_banded_blocks(
+        blocks, pos_cyc = bdn.build_banded_blocks(
             nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut,
             p.ewald_dr, j0, n_valid, zsh,
         )
+        own_pos = bdn.make_own_pos(nf_bins, bs)
     ff_weights = _ff_shared(config, ff_bins, box)
     overflow = nf_bins.overflow | ff_bins.overflow | band_overflow
     return (
-        _BandedCtx(nf_bins, ff_bins, j0, n_valid, zsh, blocks, ff_weights,
+        _BandedCtx(nf_bins, ff_bins, j0, n_valid, zsh, blocks, pos_cyc,
+                   own_pos, ff_weights,
                    jnp.asarray(box.tilt_xy, jnp.float32)),
         overflow,
     )
@@ -453,7 +469,7 @@ def _engine(config: StepConfig):
                     p.self_mobility,
                 )
             return bdn.matvec_banded(
-                ctx.blocks, ctx.nf_bins, ctx.tilt, ctx.j0, ctx.n_valid,
+                ctx.blocks, ctx.pos_cyc, ctx.own_pos, ctx.j0, ctx.n_valid,
                 ctx.zsh, bs, cells, p.self_mobility, p.L,
             )
 
@@ -461,6 +477,27 @@ def _engine(config: StepConfig):
             C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
             cells = ft.reshape(3, C, bs.bins.cap)
             return _nf_matvec(ctx, cells).reshape(3, -1)
+
+        def mreal_t2(ctx, ft):
+            """(6, nslots) two-RHS matvec sharing one A stream (the fused
+            M·F + first-Lanczos-matvec path of step_impl)."""
+            C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
+            cells = ft.reshape(6, C, bs.bins.cap)
+            if _pallas_interpret():
+                u = jnp.concatenate(
+                    [_nf_matvec(ctx, cells[0:3]), _nf_matvec(ctx, cells[3:6])],
+                    axis=0,
+                )
+            else:
+                u = bdn.matvec_banded(
+                    ctx.blocks, ctx.pos_cyc, ctx.own_pos, ctx.j0,
+                    ctx.n_valid, ctx.zsh, bs, cells, p.self_mobility, p.L,
+                )
+            return u.reshape(6, -1)
+
+        def f_slots_t(ctx, values):
+            """(N, 3) particle values -> (3, nslots) slot layout."""
+            return vec_to_cells(ctx.nf_bins, bs.bins, values).reshape(3, -1)
 
         def mreal_particles(ctx, forces):
             cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
@@ -534,6 +571,9 @@ def _engine(config: StepConfig):
     e.contract = contract
     e.slots_of_psi = slots_of_psi
     e.psi_result_to_particles = psi_result_to_particles
+    if config.engine == "banded":
+        e.mreal_t2 = mreal_t2
+        e.f_slots_t = f_slots_t
     return e
 
 
@@ -595,11 +635,11 @@ def brownian_displacement(config: StepConfig, pos, tilt_xy, step, m_start, T, dt
     u_wave = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     psi = eng.slots_of_psi(ctx, k_psi, pos.shape[0])
-    u_sqrt, m_used = lanczos.sqrt_mreal(
+    u_sqrt, m_used, hit_cap = lanczos.sqrt_mreal(
         lambda vt: eng.mreal_t(ctx, vt), psi, p.error, m_start, config.m_max
     )
     u_real = jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
-    return u_wave + u_real, m_used, overflow
+    return u_wave + u_real, m_used, overflow | hit_cap
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -679,21 +719,47 @@ def step_impl(
         u = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     # --- real space: deterministic matvec (+ Lanczos noise) ----------------
-    if config.has_forces:
+    fuse2 = (
+        config.has_forces
+        and config.thermal
+        and getattr(eng, "mreal_t2", None) is not None
+    )
+    if config.has_forces and not fuse2:
         with jax.named_scope("pse_nearfield"):
             u = u + eng.mreal_particles(ctx, forces)
 
     m_used = state.m_lanczos
     if config.thermal:
         psi = eng.slots_of_psi(ctx, k_psi, n)
+        w0 = None
+        if fuse2:
+            # The deterministic M·F rides the first Lanczos matvec as a
+            # second right-hand side: ONE streamed read of the banded A
+            # per thermal forces step instead of two (the A stream is the
+            # near-field's dominant cost).  v₀ normalization matches
+            # lanczos.sqrt_mreal exactly (same expression, same trace).
+            with jax.named_scope("pse_nearfield"):
+                psi_t = psi.T                              # (3, nslots)
+                vnorm = jnp.sqrt(jnp.sum(psi_t.reshape(-1) ** 2))
+                ft2 = jnp.concatenate(
+                    [eng.f_slots_t(ctx, forces), psi_t / vnorm], axis=0
+                )
+                u2 = eng.mreal_t2(ctx, ft2)                # (6, nslots)
+                u = u + eng.psi_result_to_particles(ctx, u2[0:3].T)
+                w0 = u2[3:6]
         with jax.named_scope("pse_lanczos"):
-            u_sqrt, m_used = lanczos.sqrt_mreal(
+            u_sqrt, m_used, hit_cap = lanczos.sqrt_mreal(
                 lambda vt: eng.mreal_t(ctx, vt),
                 psi,
                 p.error,
                 state.m_lanczos,
                 config.m_max,
+                w0=w0,
             )
+        # An unconverged-at-m_max Lanczos is a capacity problem like any
+        # other: fold it into the sticky overflow flag so Simulation.run
+        # rewinds and regrows (grow_config doubles m_max).
+        overflow = overflow | hit_cap
         u = u + jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
 
     # --- Euler update with shear advection + PBC wrap ----------------------

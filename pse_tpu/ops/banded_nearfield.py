@@ -93,7 +93,7 @@ def make_band_spec(
     rcut: float,
     max_tilt: float = 0.5,
     block_dtype: str = "bfloat16",
-    rows: int = 16,
+    rows: int = 32,
     ncx_multiple: int = 1,
 ) -> BandSpec | None:
     """Choose column counts / capacity / window, or None when the geometry
@@ -111,21 +111,40 @@ def make_band_spec(
         return None
 
     mu = n_particles / (ncx * ncy)            # mean column occupancy
+
+    # rows=32 beats rows=16 by ~33% on the matvec (fewer per-tile rolls /
+    # dot launches, tools/bench_matvec.py) but pays +rows lanes of window
+    # need; take it only when the rounded window keeps >= 16 lanes of
+    # headroom (a 1-lane margin measurably trips the per-step band
+    # fluctuation check -> a regrow mid-bench) AND doesn't round the
+    # window a 64-lane step higher than rows=16 would.
+    #
+    # Expected band: ranks within 2*rcut of z, plus the tile extent, plus
+    # slack for occupancy fluctuations between neighboring columns
+    # (~5 sigma + 10).  Windows are multiples of 64: A bytes, build
+    # evaluation, and matvec VPU work all scale with W, so a 64-lane
+    # window at high xi / tall boxes is a ~1.6x lever.
+    band = 2.0 * rcut / L[2] * mu
+
+    def w_of(r):
+        need = band + r + 5.0 * math.sqrt(max(band, 1.0)) + 10.0
+        return max(64, int(math.ceil(need / 64.0)) * 64), need
+
+    choices = [rows] if rows != 32 else [32, 16]
+    w16, _ = w_of(16)
+    for r in choices:
+        window, need = w_of(r)
+        if r > 16 and (window - need < 16.0 or window > w16):
+            continue
+        rows = r
+        break
+    else:
+        rows, window = 16, w16
+
     # 4-sigma Poisson slack: A traffic scales with cap, and overflow is
     # recoverable (sticky flag -> regrow), so the tail can be tighter than
     # the unrecoverable-era 5 sigma.
     cap = int(math.ceil((mu + 4.0 * math.sqrt(mu) + 8.0) / rows)) * rows
-
-    # Expected band: ranks within 2*rcut of z, plus the tile extent, plus
-    # slack for occupancy fluctuations between neighboring columns
-    # (~5 sigma + 10; at the 64-lane granularity the REALIZED slack is
-    # always at least this and usually far larger, and overflow is a
-    # recoverable regrow, not a wrong answer).  Windows are multiples of
-    # 64: A bytes, build evaluation, and matvec VPU work all scale with W,
-    # so a 64-lane window at high xi / tall boxes is a ~1.6x lever.
-    band = 2.0 * rcut / L[2] * mu
-    need = band + rows + 5.0 * math.sqrt(max(band, 1.0)) + 10.0
-    window = max(64, int(math.ceil(need / 64.0)) * 64)
     if window > 256 or cap < window:
         return None                            # banded layout not profitable
     return BandSpec(
@@ -461,13 +480,18 @@ def matvec_banded_reference(
 
 def _build_kernel(
     offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, posm_ref, own_ref, a_ref,
-    pcyc_ref, *,
+    pos_ref, pcyc_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2,
 ):
     """Grid (column,): all N_HALF stored offsets of one column per step —
     windows concatenate on the lane axis so the Chebyshev pair evaluation
     runs once on (R, 5W) per tile (one write per component instead of
     five) and the column's own rows / prefolds are shared by all offsets.
+
+    Second output ``pos_ref`` (1, N_HALF, 3, SEXT): the prefolded neighbor
+    coordinates (periodic xy image + cyclic z wrap already applied) — the
+    matvec kernel streams these back instead of redoing the position
+    prefold on every one of the (m+1) matvecs per step.
     """
     ncx, ncy, _ = spec.bins.n_cells
     S = spec.bins.cap
@@ -504,6 +528,7 @@ def _build_kernel(
             posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT,
             shifts=(sx, sy, L[2]),
         )
+        pos_ref[0, h] = pcyc_ref[h, 0:3, :]
 
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -563,12 +588,13 @@ def build_banded_blocks(
     n_valid: jax.Array,        # (C,) int32 from compute_windows
     zsh: jax.Array,            # (O, C, T) f32 from compute_windows
     interpret: bool = False,
-) -> jax.Array:
-    """A (1, C, 2, S, 5W) banded pair coefficients — (imrr, bco/d²) for the
-    N_HALF stored offsets side by side on the lane axis — built once per
-    step.  The matvec reconstructs the dyadic ddᵀ part from the prefolded
-    coordinates (3x fewer stored bytes than the expanded 6-component
-    tensor; the A stream is the step's dominant HBM traffic)."""
+):
+    """(A, pos_cyc): A (1, C, 2, S, 5W) banded pair coefficients —
+    (imrr, bco/d²) for the N_HALF stored offsets side by side on the lane
+    axis — plus pos_cyc (C, N_HALF, 3, SEXT), the prefolded neighbor
+    coordinates, both built once per step.  The matvec reconstructs the
+    dyadic ddᵀ part from pos_cyc (3x fewer stored bytes than the expanded
+    6-component tensor; the A stream is the step's dominant HBM traffic)."""
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -617,13 +643,23 @@ def build_banded_blocks(
         # Only the half stencil is built (the mirrors are transposes —
         # full_xy_offsets); the 5 stored offsets sit side by side on the
         # lane axis so the matvec contracts all of them with ONE wide MXU
-        # dot per tile.
-        out_specs=pl.BlockSpec(
-            (1, 1, 2, S, N_HALF * W), lambda c: (0, c, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        # dot per tile.  The prefolded positions ride along as a second
+        # output for the matvecs to stream back.
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, 2, S, N_HALF * W), lambda c: (0, c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N_HALF, 3, sext), lambda c: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (1, C, 2, S, N_HALF * W), jnp.dtype(spec.block_dtype)
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (1, C, 2, S, N_HALF * W), jnp.dtype(spec.block_dtype)
+            ),
+            jax.ShapeDtypeStruct((C, N_HALF, 3, sext), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((N_HALF, 4, sext), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -636,10 +672,11 @@ def build_banded_blocks(
 
 
 def _matvec_kernel(
-    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, a_ref, own_ref, fp_ref,
+    offs_ref, nv_ref, j0_ref, zsh_ref, a_ref, pcyc_ref, ownp_ref, ownf_ref,
+    f_ref,
     u_ref,
-    acct_ref, fpcyc_ref, lhsf_ref, lhst_ref, own6_ref, *,
-    spec: BandSpec, L, cps: int, parts: str = "both",
+    acct_ref, fcyc_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref, *,
+    spec: BandSpec, cps: int, nrhs: int = 1, parts: str = "both",
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
     column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
@@ -675,6 +712,18 @@ def _matvec_kernel(
     ``cps`` columns are processed per grid step: the A stream has a fixed
     per-grid-step issue cost, so fewer, larger transfers buy real time.
 
+    The position side (neighbor-window prefolds, own rows) is STATIC per
+    step: the build kernel emits the prefolded coordinates (pcyc_ref) and
+    the caller passes the own rows (ownp_ref) once per step, so the per-
+    matvec work here is the force prefold alone — the reason tilt and the
+    offset xy-image logic no longer appear in this kernel.
+
+    ``nrhs``: number of right-hand sides sharing ONE A stream (f_ref holds
+    3·nrhs rows).  The A read is the dominant cost, so u = M·[f₁ f₂] costs
+    far less than two matvecs — the step uses nrhs=2 to ride the
+    deterministic M·F on the first Lanczos matvec.  All dots widen on the
+    non-contracted axis; per-RHS results unpack from row/lane segments.
+
     Junk lanes/rows (pad slots, beyond-band, cyclic wrap junk) all carry
     finite junk coordinates but zero F1/Bq (mask and cutoff folded at
     build), so every product drops them."""
@@ -694,8 +743,6 @@ def _matvec_kernel(
     precision = jax.lax.Precision.HIGHEST if is_f32 else None
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
-    row6 = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
-    tilt = tilt_ref[0]
     ones_w = jnp.ones((1, N_HALF * W), a_dtype)
     ones_r = jnp.ones((1, R), a_dtype)
 
@@ -705,6 +752,9 @@ def _matvec_kernel(
             return (x,)
         hi = x.astype(jnp.bfloat16)
         return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    NR = 3 * nrhs
+    W5 = N_HALF * W
 
     def fused_rows(ref, base, coords, ones_row):
         """lhs rows [base; hi(coords); 1; (lo(coords))] for a fused dot,
@@ -716,48 +766,37 @@ def _matvec_kernel(
         exactly through f32, so the hi/lo split survives the cast at read.
         """
         ps = split16(coords)
-        ref[0:3] = base.astype(jnp.float32)
-        ref[3:6] = ps[0].astype(jnp.float32)
-        ref[6:7] = ones_row.astype(jnp.float32)
+        ref[0:NR] = base.astype(jnp.float32)
+        ref[NR:NR + 3] = ps[0].astype(jnp.float32)
+        ref[NR + 3:NR + 4] = ones_row.astype(jnp.float32)
         if len(ps) > 1:
-            ref[7:10] = ps[1].astype(jnp.float32)
-            return ref[0:10].astype(a_dtype)
-        return ref[0:7].astype(a_dtype)
+            ref[NR + 4:NR + 7] = ps[1].astype(jnp.float32)
+            return ref[0:NR + 7].astype(a_dtype)
+        return ref[0:NR + 4].astype(a_dtype)
 
-    nb = 3                                # rows in `base`
     for ci in range(cps):
         c = g * cps + ci
         acct_ref[:] = jnp.zeros_like(acct_ref)
-        cx = jax.lax.div(c, ncy)
-        cy = jax.lax.rem(c, ncy)
 
         nvs = []
-        # One cyclic prefold per (column, offset) of the STACKED (f, pos)
-        # columns: window reads below become a single aligned read + roll
-        # per (tile, offset).  Rows 3-5 (the neighbor coordinates) get the
-        # periodic xy image as scalar shifts and +Lz on the wrap region —
-        # the same exact-geometry contract as the build kernel.
+        # One cyclic prefold per (column, offset) of the FORCE columns;
+        # coordinates need no per-matvec prefold — the build kernel's pcyc
+        # output carries them with the periodic xy image and +Lz wrap
+        # already applied, and a cheap VMEM copy re-stacks them under the
+        # force rows so the window reads below stay a SINGLE aligned
+        # (NR+3, RW) read + roll per (tile, offset) (split per-side rolls
+        # would double the per-tile roll count).
         for h in range(N_HALF):
             ox = offs_ref[h, 0]
             oy = offs_ref[h, 1]
             nbr = _neighbor_column(c, ox, oy, ncx, ncy)
             nv = nv_ref[nbr]
             nvs.append(nv)
-            wx = jnp.where(cx + ox >= ncx, 1.0,
-                           jnp.where(cx + ox < 0, -1.0, 0.0))
-            wy = jnp.where(cy + oy >= ncy, 1.0,
-                           jnp.where(cy + oy < 0, -1.0, 0.0))
-            sy = wy * L[1]
-            sx = wx * L[0] + tilt * sy
-            col = fp_ref[:, pl.ds(nbr, 1), :].reshape(6, SEXT)
-            folded = jnp.where(iota_e < nv, col, pltpu.roll(col, nv, 1))
-            adj = jnp.where(
-                row6 == 3, sx, jnp.where(
-                    row6 == 4, sy,
-                    jnp.where((row6 == 5) & (iota_e >= nv), L[2], 0.0),
-                )
+            col = f_ref[:, pl.ds(nbr, 1), :].reshape(NR, SEXT)
+            fcyc_ref[h, 0:NR] = jnp.where(
+                iota_e < nv, col, pltpu.roll(col, nv, 1)
             )
-            fpcyc_ref[h] = folded + adj
+            fcyc_ref[h, NR:NR + 3] = pcyc_ref[ci, h]
 
         for t in range(T):
             sl = slice(t * R, (t + 1) * R)
@@ -779,67 +818,85 @@ def _matvec_kernel(
             for h in range(N_HALF):
                 j0h = j0_ref[h, c * T + t]
                 a0 = pl.multiple_of(j0h // 128 * 128, 128)
-                wide = fpcyc_ref[h, :, pl.ds(a0, RW)]
-                win = pltpu.roll(wide, a0 - j0h, 1)[:, :W]     # (6, W)
-                zq = win[5:6] - zsh_ref[h, c * T + t]
-                wins.append(jnp.concatenate([win[0:5], zq], axis=0))
-            fq = jnp.concatenate(wins, axis=1)                 # (6, 5W)
-            fw = fq[0:3]
+                wide = fcyc_ref[h, :, pl.ds(a0, RW)]
+                win = pltpu.roll(wide, a0 - j0h, 1)[:, :W]     # (NR+3, W)
+                zq = win[NR + 2:NR + 3] - zsh_ref[h, c * T + t]
+                wins.append(
+                    jnp.concatenate([win[0:NR + 2], zq], axis=0)
+                )
+            fq = jnp.concatenate(wins, axis=1)                 # (NR+3, 5W)
+            fw = fq[0:NR]
             fw16 = fw.astype(a_dtype)
 
-            own8 = own_ref[ci, t]                              # (R, 8)
-            cc_s = own8[0:1, 0:3]                              # (1, 3)
-            own3 = own8[:, 0:3] - cc_s                         # (R, 3)
-            fo3 = own8[:, 3:6]                                 # (R, 3)
-            ccl = fpcyc_ref[0, 3:6, t * R:t * R + 1]           # (3, 1)
-            q = fq[3:6] - ccl                                  # (3, 5W)
-            ownl = fpcyc_ref[0, 3:6, sl.start:sl.stop] - ccl   # (3, R)
-            fol = fpcyc_ref[0, 0:3, sl.start:sl.stop]          # (3, R)
+            ownp8 = ownp_ref[ci, t]                            # (R, 8)
+            cc_s = ownp8[0:1, 0:3]                             # (1, 3)
+            own3 = ownp8[:, 0:3] - cc_s                        # (R, 3)
+            foN = ownf_ref[ci, t][:, 0:NR]                     # (R, NR)
+            ccl = fcyc_ref[0, NR:NR + 3, t * R:t * R + 1]      # (3, 1)
+            q = fq[NR:NR + 3] - ccl                            # (3, 5W)
+            ownl = fcyc_ref[0, NR:NR + 3, sl.start:sl.stop] - ccl
+            folN = fcyc_ref[0, 0:NR, sl.start:sl.stop]         # (NR, R)
 
-            # of = own·f window via ONE MXU dot (per-tile dot-launch
-            # overhead is the measured cost): hi/lo coordinate parts side
-            # by side on K against a doubled [fw; fw] rhs, both assembled
-            # through scratch (misaligned concats are rejected).
+            # of_r = own·f_r window via ONE MXU dot across all RHS
+            # (per-tile dot-launch overhead is the measured cost): hi/lo
+            # coordinate parts side by side on K against a doubled
+            # [fw_r; fw_r] rhs per lane segment, assembled through scratch
+            # (misaligned concats are rejected).
             ps = split16(own3)
             if is_f32:
-                of = jax.lax.dot_general(
-                    ps[0], fw16,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )                                              # (R, 5W)
+                ofs = [
+                    jax.lax.dot_general(
+                        ps[0], fw16[3 * r:3 * r + 3],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    for r in range(nrhs)
+                ]                                              # (R, 5W) each
             else:
-                own6_ref[:, 0:3] = ps[0].astype(jnp.float32)
-                own6_ref[:, 3:6] = ps[1].astype(jnp.float32)
-                lhsf_ref[10:13] = fw
-                lhsf_ref[13:16] = fw
-                of = jax.lax.dot_general(
-                    own6_ref[:, 0:6].astype(a_dtype),
-                    lhsf_ref[10:16].astype(a_dtype),
+                own6_ref[0:R, 0:3] = ps[0].astype(jnp.float32)
+                own6_ref[0:R, 3:6] = ps[1].astype(jnp.float32)
+                for r in range(nrhs):
+                    seg = slice(r * W5, (r + 1) * W5)
+                    ofr_ref[0:3, seg] = fw[3 * r:3 * r + 3]
+                    ofr_ref[3:6, seg] = fw[3 * r:3 * r + 3]
+                of_all = jax.lax.dot_general(
+                    own6_ref[0:R, 0:6].astype(a_dtype),
+                    ofr_ref[0:6].astype(a_dtype),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                              # (R, 5W)
-            qf = jnp.sum(q * fw, axis=0, keepdims=True)        # (1, 5W)
+                )                                              # (R, nrhs·5W)
+                ofs = [
+                    of_all[:, r * W5:(r + 1) * W5] for r in range(nrhs)
+                ]
             # G stays in storage dtype: (of - qf) is the contracted d·f —
             # rounding it 0.4% RELATIVE is benign (unlike rounding raw
             # coordinates), and it saves three full-width f32 passes.
-            G16 = Bq * (of - qf).astype(a_dtype)               # (R, 5W)
+            Gs = []
+            for r in range(nrhs):
+                qf = jnp.sum(
+                    q * fw[3 * r:3 * r + 3], axis=0, keepdims=True
+                )                                              # (1, 5W)
+                Gs.append(Bq * (ofs[r] - qf).astype(a_dtype))
 
             if parts in ("both", "fwd"):
                 lhs = fused_rows(lhsf_ref, fw16, q, ones_w)
-                rhs = jnp.concatenate([F1, G16], axis=0)       # (2R, 5W)
+                rhs = jnp.concatenate([F1] + Gs, axis=0)       # ((1+nr)R, 5W)
                 res = jax.lax.dot_general(
                     lhs, rhs,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )                                              # (nl, 2R)
-                t1 = res[0:nb, 0:R]                            # (3, R)
-                qg = res[nb:nb + 3, R:]
-                if not is_f32:
-                    qg = qg + res[nb + 4:nb + 7, R:]
-                gsum = res[nb + 3:nb + 4, R:]                  # (1, R)
-                u_ref[ci, 0, :, sl] = t1 + ownl * gsum - qg
+                )                                              # (nl, (1+nr)R)
+                for r in range(nrhs):
+                    seg = slice((1 + r) * R, (2 + r) * R)
+                    qg = res[NR:NR + 3, seg]
+                    if not is_f32:
+                        qg = qg + res[NR + 4:NR + 7, seg]
+                    gsum = res[NR + 3:NR + 4, seg]             # (1, R)
+                    u_ref[ci, 0, 3 * r:3 * r + 3, sl] = (
+                        res[3 * r:3 * r + 3, 0:R] + ownl * gsum - qg
+                    )
 
             if parts in ("both", "t"):
                 # transposed: uT_k(w) = Σ_r F1·f_own_k(r) + H·d_k for the
@@ -847,38 +904,54 @@ def _matvec_kernel(
                 # H = (bco/d²)·(d·f_own).
                 F14 = F1[:, W:]
                 q4 = q[:, W:]                                  # (3, 4W)
-                oof = jnp.sum(own3 * fo3, axis=1, keepdims=True)
-                # qfo(r,w) = Σ_k fo_k(r)·q_k(w): ONE K=7 dot against the
-                # [q_hi; 1; q_lo] rows the forward lhs already split (the
-                # ones row is nulled by a zero lhs column).
-                own6_ref[:, 0:3] = fo3
-                own6_ref[:, 3:4] = jnp.zeros_like(fo3[:, 0:1])
+                # qfo_r(r,w) = Σ_k fo_k(r)·q_k(w): ONE dot for all RHS
+                # (stacked on sublanes) against the [q_hi; 1; q_lo] rows
+                # the forward lhs already split (the ones row is nulled by
+                # a zero lhs column).
                 nk = 4 if is_f32 else 7                        # [q;1(;q_lo)]
-                if not is_f32:
-                    own6_ref[:, 4:7] = fo3
-                qfo = jax.lax.dot_general(
-                    own6_ref[:, 0:nk].astype(a_dtype),
-                    lhsf_ref[3:3 + nk, W:].astype(a_dtype),
+                for r in range(nrhs):
+                    rsl = slice(r * R, (r + 1) * R)
+                    fo3 = foN[:, 3 * r:3 * r + 3]
+                    own6_ref[rsl, 0:3] = fo3
+                    own6_ref[rsl, 3:4] = jnp.zeros_like(fo3[:, 0:1])
+                    if not is_f32:
+                        own6_ref[rsl, 4:7] = fo3
+                qfo_all = jax.lax.dot_general(
+                    own6_ref[0:nrhs * R, 0:nk].astype(a_dtype),
+                    lhsf_ref[NR:NR + nk, W:].astype(a_dtype),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )                                              # (R, 4W)
-                H16 = Bq[:, W:] * (oof - qfo).astype(a_dtype)  # (R, 4W)
-                lhs2 = fused_rows(lhst_ref, fol.astype(a_dtype), ownl,
+                )                                              # (nr·R, 4W)
+                Hs = []
+                for r in range(nrhs):
+                    oof = jnp.sum(
+                        own3 * foN[:, 3 * r:3 * r + 3], axis=1,
+                        keepdims=True,
+                    )
+                    qfo = qfo_all[r * R:(r + 1) * R]
+                    Hs.append(Bq[:, W:] * (oof - qfo).astype(a_dtype))
+                lhs2 = fused_rows(lhst_ref, folN.astype(a_dtype), ownl,
                                   ones_r)
-                rhs2 = jnp.concatenate([F14, H16], axis=1)     # (R, 8W)
+                rhs2 = jnp.concatenate([F14] + Hs, axis=1)     # (R,(1+nr)4W)
                 res2 = jax.lax.dot_general(
                     lhs2, rhs2,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
-                )                                              # (nl, 8W)
-                t1t = res2[0:nb, 0:W4]
-                oh = res2[nb:nb + 3, W4:]
-                if not is_f32:
-                    oh = oh + res2[nb + 4:nb + 7, W4:]
-                hsum = res2[nb + 3:nb + 4, W4:]
-                ut = t1t + oh - q4 * hsum                      # (3, 4W)
+                )                                              # (nl,(1+nr)4W)
+                uts = []
+                for r in range(nrhs):
+                    seg = slice((1 + r) * W4, (2 + r) * W4)
+                    oh = res2[NR:NR + 3, seg]
+                    if not is_f32:
+                        oh = oh + res2[NR + 4:NR + 7, seg]
+                    hsum = res2[NR + 3:NR + 4, seg]
+                    uts.append(
+                        res2[3 * r:3 * r + 3, 0:W4] + oh - q4 * hsum
+                    )
+                ut = (uts[0] if nrhs == 1
+                      else jnp.concatenate(uts, axis=0))       # (NR, 4W)
                 for h in range(NT):
                     j0 = j0_ref[1 + h, c * T + t]
                     a = pl.multiple_of(j0 // 128 * 128, 128)
@@ -903,17 +976,32 @@ def _matvec_kernel(
             u_ref[ci, 1 + h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 
 
+def make_own_pos(bins: CellBins, spec: BandSpec) -> jax.Array:
+    """(C, T, R, 8) sublane-layout own coordinates for matvec_banded,
+    computed ONCE per step (reading a column out of a lane-major array
+    in-kernel needs a 128-wide read + rotate per component, measured
+    ~0.2 ms/matvec; and rebuilding this transpose inside every matvec was
+    measurable XLA data-formatting time)."""
+    S = spec.bins.cap
+    R = spec.rows
+    pos = jnp.stack([bins.px, bins.py, bins.pz], axis=0)       # (3, C, S)
+    C = pos.shape[1]
+    return jnp.concatenate(
+        [pos, jnp.zeros((5,) + pos.shape[1:], jnp.float32)], axis=0
+    ).transpose(1, 2, 0).reshape(C, S // R, R, 8)
+
+
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "L", "interpret",
                                    "parts", "cols_per_step"))
 def matvec_banded(
     blocks: jax.Array,         # (1, C, 2, S, 5W) from build_banded_blocks
-    bins: CellBins,            # z-sorted columns (coordinates for the ddᵀ)
-    tilt_xy,
+    pos_cyc: jax.Array,        # (C, N_HALF, 3, SEXT) from build_banded_blocks
+    own_pos: jax.Array,        # (C, T, R, 8) from make_own_pos
     j0: jax.Array,             # (O, C, T) int32
     n_valid: jax.Array,        # (C,) int32
     zsh: jax.Array,            # (O, C, T) f32 from compute_windows
     spec: BandSpec,
-    f_cells: jax.Array,        # (3, C, S) f32 — padded slots MUST be zero
+    f_cells: jax.Array,        # (3·nrhs, C, S) f32 — padded slots MUST be zero
     self_mobility,
     L: tuple,                  # static (Lx, Ly, Lz)
     interpret: bool = False,
@@ -922,8 +1010,12 @@ def matvec_banded(
 ) -> jax.Array:
     """u = M_real · f in column layout: one streamed read of the half band's
     (imrr, bco/d²) coefficients, applied forward and transposed (the mirror
-    offsets) with the dyadic geometry rebuilt in-kernel."""
-    O = len(spec.offsets)
+    offsets) with the dyadic geometry rebuilt in-kernel from the build's
+    prefolded coordinates.
+
+    ``f_cells`` may stack nrhs ≤ 2 right-hand sides on its leading axis
+    (3·nrhs rows); they share one A stream (the dominant cost) and the
+    result stacks the same way."""
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -931,19 +1023,15 @@ def matvec_banded(
     W = spec.window
     T = S // R
     f_cells = f_cells.astype(jnp.float32)
+    nrhs = f_cells.shape[0] // 3
+    NR = 3 * nrhs
     sext = _sext_of(spec)                     # cyclic-window lane extent
-    pos = jnp.stack([bins.px, bins.py, bins.pz], axis=0)       # (3, C, S)
-    fp = jnp.concatenate([f_cells, pos], axis=0)               # (6, C, S)
-    fp_pad = jnp.pad(fp, ((0, 0), (0, 0), (0, sext - S)))
-    # Own rows in sublane layout, streamed alongside A — reading a column
-    # out of a lane-major array in-kernel needs a 128-wide read + rotate
-    # per component (measured ~0.2 ms/matvec); this costs one cheap XLA
-    # transpose instead.
-    own_io = jnp.concatenate(
-        [pos, f_cells, jnp.zeros((2,) + pos.shape[1:], jnp.float32)], axis=0
+    f_pad = jnp.pad(f_cells, ((0, 0), (0, 0), (0, sext - S)))
+    own_f = jnp.concatenate(
+        [f_cells,
+         jnp.zeros((8 - NR,) + f_cells.shape[1:], jnp.float32)], axis=0
     ).transpose(1, 2, 0).reshape(C, T, R, 8)
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
-    tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
     if cols_per_step is None:
         # The A stream has a fixed per-grid-step issue cost: amortize over
@@ -960,8 +1048,8 @@ def matvec_banded(
 
     j0_flat = j0[:N_HALF].reshape(N_HALF, -1)   # SMEM budget: stored offsets
     zsh_flat = zsh[:N_HALF].reshape(N_HALF, -1)
-    kernel = partial(_matvec_kernel, spec=spec,
-                     L=tuple(float(x) for x in L), cps=cps, parts=parts)
+    kernel = partial(_matvec_kernel, spec=spec, cps=cps, nrhs=nrhs,
+                     parts=parts)
 
     uo = pl.pallas_call(
         kernel,
@@ -969,15 +1057,18 @@ def matvec_banded(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # zsh (whole)
             pl.BlockSpec((1, cps, 2, S, N_HALF * W),
                          lambda g: (0, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
+            pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # prefolded coords
             pl.BlockSpec((cps, T, R, 8), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),        # own rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # fp_pad (whole)
+                         memory_space=pltpu.VMEM),        # own coords
+            pl.BlockSpec((cps, T, R, 8), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # own forces
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
         ],
         # Forward result (slot 0) and mirror contributions (slots 1..4) at
         # the OWN column, one output DMA per grid step; the caller rolls
@@ -985,15 +1076,16 @@ def matvec_banded(
         # LEADING so the block's minor dims (3, S) equal the array dims —
         # the Mosaic (8, 128) block-divisibility rule only exempts full
         # dimensions.
-        out_specs=pl.BlockSpec((cps, N_HALF, 3, S), lambda g: (g, 0, 0, 0),
+        out_specs=pl.BlockSpec((cps, N_HALF, NR, S), lambda g: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, N_HALF, 3, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, N_HALF, NR, S), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_HALF - 1, 3, sext), jnp.float32),
-            pltpu.VMEM((N_HALF, 6, sext), jnp.float32),
+            pltpu.VMEM((N_HALF - 1, NR, sext), jnp.float32),
+            pltpu.VMEM((N_HALF, NR + 3, sext), jnp.float32),
             pltpu.VMEM((16, N_HALF * W), jnp.float32),
             pltpu.VMEM((16, R), jnp.float32),
-            pltpu.VMEM((R, 8), jnp.float32),
+            pltpu.VMEM((nrhs * R, 8), jnp.float32),
+            pltpu.VMEM((8, nrhs * N_HALF * W), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # Every output element is written by its own grid step (no
@@ -1005,9 +1097,10 @@ def matvec_banded(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, blocks, own_io, fp_pad)
+    )(offsets_arr, n_valid, j0_flat, zsh_flat, blocks, pos_cyc, own_pos,
+      own_f, f_pad)
 
-    u = jnp.moveaxis(uo[:, 0], 1, 0)                    # (3, C, S) forward
+    u = jnp.moveaxis(uo[:, 0], 1, 0)                    # (NR, C, S) forward
     # Mirror contributions: uo[c, 1+h] holds what column c's blocks
     # contribute to column c+offsets[1+h] — roll each onto its target.
     for h in range(N_HALF - 1):

@@ -10,17 +10,32 @@ for XLA from the host-driven loop of gpu_stokes_BrealLanczos_wrap
     tridiagonal each round — no host sync anywhere.
   * the zero-padding trick: the m_max×m_max tridiagonal with α, β beyond the
     active m left at zero is block-diagonal [T_m ⊕ 0]; its extra eigenpairs
-    have zero first component, so W·Λ^{1/2}·Wᵀe₁ computed on the padded
-    matrix equals the active-block result exactly — no dynamic shapes.
+    have zero first component, so T^{1/2}e₁ computed on the padded matrix
+    equals the active-block result exactly — no dynamic shapes.
+  * the convergence test runs in COEFFICIENT space: with an orthonormal
+    Krylov basis, ‖vel_j − vel_{j−1}‖ = ‖f_j − f_{j−1}‖ where
+    f = T^{1/2}e₁ is the (m_max,) coefficient vector — so the loop never
+    touches the (m_max, 3N) basis, and the basis contraction runs ONCE
+    after the loop instead of every iteration.  (The reference recomputes
+    the full-length vector per iteration, Brownian.cu:604-736, because its
+    loop lives on the host anyway; numerically the two tests agree to the
+    basis' loss of orthogonality, far below the 1e-3-ish target here.)
   * adaptive m with warm start (reference persists m across steps,
     Stokes.h:157): at least ``max(m_start-1,1)+1`` iterations run, then
     iterations continue until the relative step norm drops below ``error``
-    (Brownian.cu:604-736) or m reaches m_max (=100, Brownian.cu:397) or the
-    basis collapses (‖v‖ < 1e-8, Brownian.cu:507-510).
+    (Brownian.cu:604-736) or m reaches m_max or the basis collapses
+    (‖v‖ < 1e-8, Brownian.cu:507-510).
+  * m_max is a STATIC cap but small by default (integrator.make_config):
+    the per-iteration eigh is O(m_max³) and the basis O(m_max·3N), so a
+    tight cap is real time and memory; hitting the cap unconverged sets the
+    returned ``hit_cap`` flag, which the step folds into the sticky
+    overflow flag — api.Simulation.run rewinds and regrows (m_max ×2, like
+    any capacity overflow) instead of silently accepting the m_max result
+    the way the reference's fixed 100 cap does (Brownian.cu:397).
 
-Returns M_real^{1/2}ψ (the caller applies the thermal scale √(2T/dt),
-Brownian.cu:739 keeps it inside — split out here so covariance tests read
-⟨uuᵀ⟩ = M_real directly) and the converged m for the next step's warm start.
+Returns (M_real^{1/2}ψ, m_used, hit_cap).  The caller applies the thermal
+scale √(2T/dt) (Brownian.cu:739 keeps it inside — split out here so
+covariance tests read ⟨uuᵀ⟩ = M_real directly).
 """
 
 from __future__ import annotations
@@ -39,8 +54,7 @@ class _LanczosState(NamedTuple):
     vj: jax.Array           # (3N,)
     vjm1: jax.Array         # (3N,)
     tempbeta: jax.Array     # scalar: next beta to store
-    vel: jax.Array          # (3N,) current T^{1/2}e1 image
-    vel_old: jax.Array      # (3N,)
+    f: jax.Array            # (m_max,) current T^{1/2}e1 coefficients
     stepnorm: jax.Array     # scalar
     breakdown: jax.Array    # bool
 
@@ -66,13 +80,19 @@ def sqrt_mreal(
     psi: jax.Array,
     error: float,
     m_start: jax.Array,
-    m_max: int = 100,
+    m_max: int = 48,
+    w0=None,
 ):
-    """Compute (M_real^{1/2} ψ, m_used).
+    """Compute (M_real^{1/2} ψ, m_used, hit_cap).
 
     ``matvec_t`` applies M_real in transposed (3, N) layout; ``psi`` is
     (N, 3).  Internally vectors are flat (3N,) so the Krylov basis carries no
     TPU tile padding.
+
+    ``w0``: optional precomputed M·v₀ in (3, N) layout, v₀ = ψ/‖ψ‖ — the
+    step passes this to ride the deterministic M·F on the first Lanczos
+    matvec (one 2-RHS A stream instead of two single ones); the first
+    iteration then runs unrolled outside the while_loop.
     """
     n = psi.shape[0]
     dtype = psi.dtype
@@ -92,12 +112,12 @@ def sqrt_mreal(
     v0 = psi_flat / vnorm
     warm = jnp.clip(jnp.asarray(m_start, jnp.int32) - 1, 1, m_max - 1)
 
-    def lanczos_iter(state: _LanczosState) -> _LanczosState:
+    def iter_with_w(state: _LanczosState, w_raw) -> _LanczosState:
         j = state.j
         V = jax.lax.dynamic_update_index_in_dim(state.V, state.vj, j, axis=0)
         beta = state.beta.at[j].set(state.tempbeta)
 
-        w = matvec(state.vj) - state.tempbeta * state.vjm1
+        w = w_raw - state.tempbeta * state.vjm1
         a = _dot(state.vj, w)
         alpha = state.alpha.at[j].set(a)
         w = w - a * state.vj
@@ -105,24 +125,16 @@ def sqrt_mreal(
         breakdown = nb < eps_breakdown
         vnext = w / jnp.where(breakdown, 1.0, nb)
 
-        # The T^{1/2}e1 assembly (eigh + basis contraction) runs EVERY
-        # iteration, unconditionally.  It used to sit behind a lax.cond
-        # (skip until the warm-started count, like Brownian.cu:463-523), but
-        # the conditional captured the (m_max, 3N) basis as an operand and
-        # XLA materialized copies: measured ~0.34 ms/iteration of pure cond
-        # overhead plus a doubled dynamic-update-slice — far more than the
-        # ~0.15 ms the small eigh + basis read cost.  The convergence TEST
-        # still honors the warm start (cond() below), so the adaptive-m
-        # semantics are unchanged, breakdown truncation included
-        # (Brownian.cu:507-510).
+        # The T^{1/2}e1 coefficient assembly runs EVERY iteration,
+        # unconditionally — a lax.cond here materialized its captured
+        # operands (measured ~0.34 ms/iteration of pure overhead).  The
+        # convergence TEST still honors the warm start (cond() below), so
+        # the adaptive-m semantics are unchanged, breakdown truncation
+        # included (Brownian.cu:507-510).
         f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
-        vel = jnp.einsum(
-            "m,mf->f", f, V, preferred_element_type=jnp.float32
-        ).astype(dtype)
         psi_m_psi = alpha[0]
-        stepnorm = jnp.sqrt(
-            _dot(vel - state.vel_old, vel - state.vel_old) / psi_m_psi
-        )
+        df = f - state.f
+        stepnorm = jnp.sqrt(_dot(df, df) / psi_m_psi)
 
         return _LanczosState(
             j=j + 1,
@@ -132,11 +144,13 @@ def sqrt_mreal(
             vj=vnext,
             vjm1=state.vj,
             tempbeta=nb,
-            vel=vel,
-            vel_old=vel,
+            f=f,
             stepnorm=stepnorm,
             breakdown=breakdown,
         )
+
+    def lanczos_iter(state: _LanczosState) -> _LanczosState:
+        return iter_with_w(state, matvec(state.vj))
 
     def cond(state: _LanczosState):
         need_more = (state.j < warm + 1) | (state.stepnorm > error)
@@ -150,12 +164,27 @@ def sqrt_mreal(
         vj=v0,
         vjm1=jnp.zeros_like(v0),
         tempbeta=jnp.asarray(0.0, dtype),
-        vel=jnp.zeros_like(v0),
-        vel_old=jnp.zeros_like(v0),
+        f=jnp.zeros((m_max,), dtype),
         stepnorm=jnp.asarray(jnp.inf, dtype),
         breakdown=jnp.asarray(False),
     )
 
-    final = jax.lax.while_loop(cond, lanczos_iter, init)
-    u = (final.vel * psinorm).reshape(3, n).T
-    return u, final.j
+    # First iteration unrolled: its matvec result may be precomputed (w0,
+    # the 2-RHS fusion) — at j=0, tempbeta=0 and vjm1=0, so w_raw = M·v₀
+    # exactly.  The while_loop then continues from j=1 with the same body.
+    first_w = (
+        matvec(v0) if w0 is None
+        else jnp.asarray(w0, dtype).reshape(-1)
+    )
+    state1 = iter_with_w(init, first_w)
+    final = jax.lax.while_loop(cond, lanczos_iter, state1)
+    # ONE basis contraction for the result vector (the loop converged on
+    # coefficients alone).
+    vel = jnp.einsum(
+        "m,mf->f", final.f, final.V, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    u = (vel * psinorm).reshape(3, n).T
+    hit_cap = (
+        (final.j >= m_max) & ~final.breakdown & (final.stepnorm > error)
+    )
+    return u, final.j, hit_cap

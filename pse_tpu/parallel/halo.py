@@ -58,8 +58,10 @@ class _HaloCtx(NamedTuple):
     nve: jax.Array         # (D*(nxl+2)*ncy,) valid counts, slab-extended
     zshe: jax.Array        # (O, D*(nxl+2)*ncy, T) z-image shifts, slab-ext
     blocks_e: jax.Array    # (1, D*(nxl+2)*ncy, 2, S, 5W) slab-ext coeffs
+    pcyc_e: jax.Array      # (D*(nxl+2)*ncy, 5, 3, SEXT) prefolded coords
+    ownp_e: jax.Array      # (D*(nxl+2)*ncy, T, R, 8) own coords
     ff_weights: object
-    tilt: jax.Array        # () f32 (the matvec rebuilds the geometry)
+    tilt: jax.Array        # () f32 (the reference matvec needs it)
 
 
 def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
@@ -129,19 +131,24 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok
         )
         if interpret:
-            blocks = jnp.zeros((1,), jnp.float32)   # unused placeholder
+            blocks = jnp.zeros((1,), jnp.float32)   # unused placeholders
+            pos_cyc = jnp.zeros((1,), jnp.float32)
+            own_pos = jnp.zeros((1,), jnp.float32)
         else:
-            blocks = bdn.build_banded_blocks(
+            blocks, pos_cyc = bdn.build_banded_blocks(
                 bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
                 p.ewald_dr, j0, nv, zsh,
             )
-        return blocks, j0, nv, zsh, ovf.reshape(1)
+            own_pos = bdn.make_own_pos(bins_loc, spec_loc)
+        return blocks, pos_cyc, own_pos, j0, nv, zsh, ovf.reshape(1)
 
     blocks_spec = col_spec if not interpret else P(axis)
+    aux_spec = P(axis) if not interpret else P(axis)
     local_prepare = _shard_map(
         _local_prepare, mesh,
         in_specs=(P(axis, None),) * 4 + (P(),),
-        out_specs=(blocks_spec, col_spec, P(axis), col_spec, P(axis)),
+        out_specs=(blocks_spec, aux_spec, aux_spec, col_spec, P(axis),
+                   col_spec, P(axis)),
     )
 
     # ---- shard-local matvec: halo-exchange f, kernel, slice interior ------
@@ -149,22 +156,22 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     # coordinates (seam_shift keeps slab-local x physically contiguous for
     # the kernel's scalar-shift minimum image); only the TPU branch streams
     # the stored (imrr, bco/d²) coefficients.
-    def _local_matvec(blocks_l, j0_l, nv_l, zsh_l, f_l, px, py, pz, mask,
-                      tilt):
+    def _local_matvec(blocks_l, pcyc_l, ownp_l, j0_l, nv_l, zsh_l, f_l,
+                      px, py, pz, mask, tilt):
         f_ext = exchange_x(f_l)
-        bins_loc = CellBins(
-            px=exchange_x(px, seam_shift=True), py=exchange_x(py),
-            pz=exchange_x(pz), mask=exchange_x(mask),
-            pid=None, cell_of=None, rank_of=None, overflow=None,
-        )
         if interpret:
+            bins_loc = CellBins(
+                px=exchange_x(px, seam_shift=True), py=exchange_x(py),
+                pz=exchange_x(pz), mask=exchange_x(mask),
+                pid=None, cell_of=None, rank_of=None, overflow=None,
+            )
             u = bdn.matvec_banded_reference(
                 bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
                 p.ewald_dr, j0_l, nv_l, f_ext, p.self_mobility,
             )
         else:
             u = bdn.matvec_banded(
-                blocks_l, bins_loc, tilt, j0_l, nv_l, zsh_l, spec_loc,
+                blocks_l, pcyc_l, ownp_l, j0_l, nv_l, zsh_l, spec_loc,
                 f_ext, p.self_mobility, p.L,
             )
         u = u.reshape(3, nxl + 2, ncy, S)[:, 1:-1]
@@ -172,7 +179,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
 
     local_matvec = _shard_map(
         _local_matvec, mesh,
-        in_specs=(blocks_spec, col_spec, P(axis), col_spec, col_spec)
+        in_specs=(blocks_spec, aux_spec, aux_spec, col_spec, P(axis),
+                  col_spec, col_spec)
         + (P(axis, None),) * 4 + (P(),),
         out_specs=col_spec,
     )
@@ -182,13 +190,14 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     def prepare(config_, pos, box):
         nf_bins = bin_columns(pos, box, bs.bins)
         ff_bins = bin_particles(pos, box, integrator._ff_bin_spec(config))
-        blocks_e, j0e, nve, zshe, ovf = _local_prepare_call(
+        blocks_e, pcyc_e, ownp_e, j0e, nve, zshe, ovf = _local_prepare_call(
             nf_bins, box.tilt_xy
         )
         ff_weights = integrator._ff_shared(config, ff_bins, box)
         overflow = nf_bins.overflow | ff_bins.overflow | jnp.any(ovf)
         return (
-            _HaloCtx(nf_bins, ff_bins, j0e, nve, zshe, blocks_e, ff_weights,
+            _HaloCtx(nf_bins, ff_bins, j0e, nve, zshe, blocks_e, pcyc_e,
+                     ownp_e, ff_weights,
                      jnp.asarray(box.tilt_xy, jnp.float32)),
             overflow,
         )
@@ -202,8 +211,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     def _matvec(ctx, cells):
         b = ctx.nf_bins
         return local_matvec(
-            ctx.blocks_e, ctx.j0e, ctx.nve, ctx.zshe, cells,
-            b.px, b.py, b.pz, b.mask, ctx.tilt,
+            ctx.blocks_e, ctx.pcyc_e, ctx.ownp_e, ctx.j0e, ctx.nve,
+            ctx.zshe, cells, b.px, b.py, b.pz, b.mask, ctx.tilt,
         )
 
     def mreal_t(ctx, ft):

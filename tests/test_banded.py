@@ -136,13 +136,13 @@ def test_banded_kernels_match_reference_interpret():
     assert not bool(ovf)
     f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
 
-    blocks = bdn.build_banded_blocks(
+    blocks, pos_cyc = bdn.build_banded_blocks(
         bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
         zsh, interpret=True,
     )
     u_kernel = bdn.matvec_banded(
-        blocks, bins, box.tilt_xy, j0, nv, zsh, bs, f_cells,
-        p.self_mobility, p.L, interpret=True,
+        blocks, pos_cyc, bdn.make_own_pos(bins, bs), j0, nv, zsh, bs,
+        f_cells, p.self_mobility, p.L, interpret=True,
     )
     u_ref = bdn.matvec_banded_reference(
         bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
@@ -164,7 +164,10 @@ def test_banded_w64_window_interpret():
     rng = np.random.default_rng(12)
     n, L = 1300, (24.0, 24.0, 96.0)
     params = pse.make_params(xi=0.5, error=1e-3, L=L)
-    bs = bdn.make_band_spec(n, L, params.ewald_cut, block_dtype="float32")
+    # rows=16 keeps the window need under 64 lanes for this geometry (the
+    # production default of 32 rows exercises W=128 everywhere else).
+    bs = bdn.make_band_spec(n, L, params.ewald_cut, block_dtype="float32",
+                            rows=16)
     assert bs is not None and bs.window == 64, bs
     cheb = fit_pair_functions(0.5, params.ewald_dr, params.ewald_cut,
                               tol=1e-6)
@@ -178,19 +181,82 @@ def test_banded_w64_window_interpret():
     assert not bool(ovf)
     f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
 
-    blocks = bdn.build_banded_blocks(
+    blocks, pos_cyc = bdn.build_banded_blocks(
         bins, box.tilt_xy, bs, cheb, params.L, params.ewald_cut,
         params.ewald_dr, j0, nv, zsh, interpret=True,
     )
     u_kernel = bdn.matvec_banded(
-        blocks, bins, box.tilt_xy, j0, nv, zsh, bs, f_cells,
-        params.self_mobility, params.L, interpret=True,
+        blocks, pos_cyc, bdn.make_own_pos(bins, bs), j0, nv, zsh, bs,
+        f_cells, params.self_mobility, params.L, interpret=True,
     )
     u_ref = bdn.matvec_banded_reference(
         bins, box.tilt_xy, bs, cheb, params.L, params.ewald_cut,
         params.ewald_dr, j0, nv, f_cells, params.self_mobility,
     )
     assert _rel(u_kernel, u_ref) < 2e-6
+
+
+def test_banded_2rhs_matvec_interpret():
+    """nrhs=2 (stacked right-hand sides sharing one A stream, the fused
+    M·F + first-Lanczos-matvec path) must equal two single matvecs."""
+    from pse_tpu.box import make_box
+    from pse_tpu.cellbins import bin_columns, vec_to_cells
+    from pse_tpu.ops import banded_nearfield as bdn
+
+    rng = np.random.default_rng(21)
+    n, L = 1080, 24.0
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    f1 = rng.normal(size=(n, 3)).astype(np.float32)
+    f2 = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg = integrator.make_config(params, n, thermal=False, engine="banded",
+                                 block_dtype="float32")
+    bs, cheb, p = cfg.band_spec, cfg.cheb, cfg.params
+    box = make_box(p.L, 0.05)
+    bins = bin_columns(jnp.asarray(pos), box, bs.bins)
+    j0, nv, ovf, zsh = bdn.compute_windows(bins, bs, box, p.ewald_cut)
+    assert not bool(ovf)
+    c1 = vec_to_cells(bins, bs.bins, jnp.asarray(f1))
+    c2 = vec_to_cells(bins, bs.bins, jnp.asarray(f2))
+
+    blocks, pos_cyc = bdn.build_banded_blocks(
+        bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
+        zsh, interpret=True,
+    )
+    own_pos = bdn.make_own_pos(bins, bs)
+    u2 = bdn.matvec_banded(
+        blocks, pos_cyc, own_pos, j0, nv, zsh, bs,
+        jnp.concatenate([c1, c2], axis=0), p.self_mobility, p.L,
+        interpret=True,
+    )
+    ua = bdn.matvec_banded(
+        blocks, pos_cyc, own_pos, j0, nv, zsh, bs, c1, p.self_mobility,
+        p.L, interpret=True,
+    )
+    ub = bdn.matvec_banded(
+        blocks, pos_cyc, own_pos, j0, nv, zsh, bs, c2, p.self_mobility,
+        p.L, interpret=True,
+    )
+    assert _rel(u2[0:3], ua) < 1e-6
+    assert _rel(u2[3:6], ub) < 1e-6
+
+
+def test_banded_fused_forces_step_linearity():
+    """The fused thermal+forces step (M·F riding the first Lanczos matvec)
+    must contribute exactly U = M·F on top of the zero-forces step: same
+    seed -> identical noise, so the velocity difference is the
+    deterministic mobility."""
+    _, cfg_b, pos, forces = _setup(1080, 24.0, seed=13, thermal=True)
+    state = integrator.make_state(pos)
+    _, info_f = integrator.step(cfg_b, state, jnp.asarray(forces),
+                                1.0, 1e-3, 0.0)
+    _, info_0 = integrator.step(cfg_b, state,
+                                jnp.zeros_like(jnp.asarray(forces)),
+                                1.0, 1e-3, 0.0)
+    u_mob, ovf = integrator.mobility(cfg_b, pos, forces)
+    assert not bool(ovf)
+    du = np.asarray(info_f["velocities"]) - np.asarray(info_0["velocities"])
+    assert _rel(du, np.asarray(u_mob)) < 1e-4
 
 
 def test_banded_step_deterministic_and_thermal():

@@ -54,9 +54,10 @@ def test_lanczos_sqrt_matches_dense():
     rng = np.random.default_rng(1)
     for trial in range(3):
         psi = rng.normal(size=pos.shape).astype(np.float32)
-        u, m_used = lanczos.sqrt_mreal(
+        u, m_used, hit_cap = lanczos.sqrt_mreal(
             matvec, jnp.asarray(psi), p.error, m_start=2, m_max=60
         )
+        assert not bool(hit_cap)
         u_ref = (sqrtM @ psi.reshape(-1)).reshape(pos.shape)
         rel = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
         assert rel < 5e-3, f"trial {trial}: rel={rel}, m={int(m_used)}"
@@ -181,12 +182,52 @@ def test_lanczos_breakdown_returns_partial_assembly():
     rng = np.random.default_rng(0)
     psi = rng.normal(size=(n, 3)).astype(np.float32)
     matvec = lambda vt: c * vt
-    u, m_used = lanczos.sqrt_mreal(
+    u, m_used, _hit = lanczos.sqrt_mreal(
         matvec, jnp.asarray(psi), 1e-3, m_start=10, m_max=20
     )
     np.testing.assert_allclose(
         np.asarray(u), np.sqrt(c) * psi, rtol=1e-5, atol=1e-6
     )
+
+
+def test_lanczos_cap_hit_sets_flag_and_growth():
+    """Unconverged at m_max must raise hit_cap (the step folds it into the
+    sticky overflow flag -> Simulation.run regrows m_max), and grow_config
+    must actually raise m_max."""
+    # A stiff diagonal spectrum needs many iterations at a tight tolerance.
+    n = 40
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(
+        np.geomspace(1e-2, 1.0, 3 * n).astype(np.float32).reshape(3, n)
+    )
+    psi = rng.normal(size=(n, 3)).astype(np.float32)
+    matvec = lambda vt: d * vt
+    u, m_used, hit = lanczos.sqrt_mreal(
+        matvec, jnp.asarray(psi), 1e-9, m_start=2, m_max=4
+    )
+    assert bool(hit) and int(m_used) == 4
+    # converges fine with room
+    u2, m2, hit2 = lanczos.sqrt_mreal(
+        matvec, jnp.asarray(psi), 1e-5, m_start=2, m_max=60
+    )
+    assert not bool(hit2) and int(m2) < 60
+    ref = np.asarray(jnp.sqrt(d).T * psi)
+    rel = np.linalg.norm(np.asarray(u2) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4, rel
+
+    import math
+
+    import pse_tpu as pse
+    from pse_tpu import integrator
+
+    params = pse.make_params(xi=0.5, error=1e-3, L=30.0)
+    cfg = integrator.make_config(params, 500, thermal=True)
+    grown = integrator.grow_config(cfg)
+    assert grown.m_max > cfg.m_max
+    import dataclasses
+
+    capped = dataclasses.replace(grown, m_max=100)
+    assert integrator.grow_config(capped).m_max == 100
 
 
 def test_brownian_displacement_covariance():

@@ -104,10 +104,11 @@ def main():
         f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
 
         t0 = time.perf_counter()
-        blocks = bdn.build_banded_blocks(
+        blocks, pos_cyc = bdn.build_banded_blocks(
             bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0,
             nv, zsh,
         )
+        own_pos = bdn.make_own_pos(bins, bs)
         np.asarray(jnp.sum(blocks.astype(jnp.float32)))
         print(f"  build compile+run: {time.perf_counter()-t0:.1f}s",
               flush=True)
@@ -117,7 +118,7 @@ def main():
             def many_matvecs(blocks_, j0_, nv_, fc):
                 def body(v, _):
                     u = bdn.matvec_banded(
-                        blocks_, bins, box.tilt_xy, j0_, nv_, zsh, bs, v,
+                        blocks_, pos_cyc, own_pos, j0_, nv_, zsh, bs, v,
                         p.self_mobility, p.L, parts=parts,
                         cols_per_step=cps or None,
                     )
@@ -129,7 +130,7 @@ def main():
             @jax.jit
             def many_builds(bins_, j0_, nv_, tilt):
                 def body(acc, _):
-                    b = bdn.build_banded_blocks(
+                    b, _pc = bdn.build_banded_blocks(
                         bins_, tilt + 0.0 * acc, bs, cheb, p.L, p.ewald_cut,
                         p.ewald_dr, j0_, nv_, zsh,
                     )
