@@ -110,20 +110,25 @@ def main():
     data, _ = raw_to_tool_data.xspace_to_tool_data([pbs[-1]], "op_profile", {})
     prof = json.loads(data)
 
-    def walk(node, depth, out):
-        m = node.get("metrics", {})
-        t = m.get("time", 0.0)
-        if t and depth <= 2:
-            out.append((t, depth, node.get("name", "?")))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, out)
-
-    out = []
-    walk(prof.get("byCategory", prof), 0, out)
-    out.sort(reverse=True)
-    print("\nop_profile byCategory (pct of device time):")
-    for t, depth, name in out[:25]:
-        print(f"  {'  '*depth}{t:6.2%}  {name}")
+    # byProgram -> by_program -> jit_run_chunk -> category children, each
+    # with metrics.rawTime in picoseconds.
+    root = prof.get("byProgram") or prof.get("byCategory") or {}
+    progs = [c for c in root.get("children", [])
+             if c.get("name", "").startswith("jit_")]
+    node = progs[0] if progs else root
+    total_ps = node.get("metrics", {}).get("rawTime", 0)
+    n_steps = args.chunk
+    print(f"\nop_profile {node.get('name', '?')} "
+          f"({total_ps/1e12/n_steps*1e3:.2f} ms/step device):")
+    cats = sorted(
+        node.get("children", []),
+        key=lambda c: -c.get("metrics", {}).get("rawTime", 0),
+    )
+    for c in cats[:15]:
+        t = c.get("metrics", {}).get("rawTime", 0)
+        occ = c.get("metrics", {}).get("occurrences", 0)
+        print(f"  {t/1e12/n_steps*1e3:7.3f} ms/step  {occ/n_steps:7.1f}/step"
+              f"  {c.get('name', '?')}")
 
 
 if __name__ == "__main__":
