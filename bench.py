@@ -92,12 +92,14 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
         if not bool(state.nbr_overflow):
             break
         # lattice commensuration can exceed the Poisson capacity slack at
-        # some xi; grow like Simulation.run (fresh compile per retry)
-        config = integrator.grow_config(config)
+        # some xi; grow like Simulation.run (fresh compile per retry), only
+        # the capacities the overflow mask names
+        flags = int(state.nbr_overflow)
+        config = integrator.grow_config(config, flags=flags)
         state = integrator.make_state(pos)
         run_chunk = make_chunk(config)
-        print(f"# capacity overflow at xi={xi}: grew spec, retrying",
-              file=sys.stderr)
+        print(f"# capacity overflow at xi={xi} (mask={flags:#x}): grew spec, "
+              "retrying", file=sys.stderr)
     else:
         raise RuntimeError("capacity overflow persists after growth")
 

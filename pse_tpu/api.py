@@ -45,9 +45,12 @@ from .params import make_params
 @dataclasses.dataclass
 class PSEv1:
     """Integration-method description (mirrors integrate.PSEv1 args,
-    integrate.py:32).  ``nlist_type`` is accepted for API parity; all
-    backends map to the TPU cell list ("tree"/"stencil" are GPU-specific
-    space/time tradeoffs with no TPU analogue)."""
+    integrate.py:32).  ``nlist_type``: "cell" is the rcut-sized 27-stencil
+    cell list; "stencil" is a genuine finer-cell backend (rcut/2 cells,
+    125-stencil — the TPU analogue of the reference's CellListStencil,
+    integrate.py:69-74) used by the gather engine's neighbor enumeration;
+    "tree" has no TPU analogue (irregular tree walks serialize on random
+    gathers) and maps to "cell" with a warning."""
 
     T: float | Callable = 1.0
     seed: int = 0
@@ -68,20 +71,18 @@ class PSEv1:
             raise ValueError(
                 "Invalid neighborlist method. Valid options are: cell, tree, stencil."
             )
-        if self.nlist_type.upper() != "CELL":
+        if self.nlist_type.upper() == "TREE":
             import warnings
 
-            # The reference's tree/stencil backends (integrate.py:60-74:
-            # NeighborListGPUTree / CellListStencil) are GPU space/time
-            # tradeoffs around irregular memory access; on TPU all pair
-            # finding runs through the dense column/cell binning (measured:
-            # random gathers serialize at ~0.11 G elem/s, so a tree walk
-            # cannot compete — see DESIGN.md).  Accepted for API parity,
-            # mapped to the cell backend.
+            # The reference's tree backend (integrate.py:60-68:
+            # NeighborListGPUTree) is a GPU space/time tradeoff around
+            # irregular memory access; on TPU random gathers serialize at
+            # ~0.11 G elem/s, so a tree walk cannot compete (see DESIGN.md).
+            # Accepted for API parity, mapped to the cell backend.
             warnings.warn(
-                f"nlist_type='{self.nlist_type}' has no TPU-native analogue; "
-                "using the cell-list backend (results identical, performance "
-                "characteristics differ from the reference's GPU backends)",
+                "nlist_type='tree' has no TPU-native analogue; using the "
+                "cell-list backend (results identical, performance "
+                "characteristics differ from the reference's GPU backend)",
                 stacklevel=2,
             )
 
@@ -171,6 +172,10 @@ class Simulation:
             params, n_hydro, thermal=thermal, seed=method.seed, engine=engine,
             max_tilt=method.max_strain, max_neighbors=max_neighbors,
             has_forces=self.force_fn is not None,
+            # "stencil" = rcut/2 cells with a 125-stencil (CellListStencil
+            # analogue); only the gather engine enumerates neighbors, the
+            # blocked/banded engines bin directly.
+            nbr_subdiv=2 if method.nlist_type.upper() == "STENCIL" else 1,
         )
         # Cell sizes and the spreading-Gaussian safety factor λ(γ) are built
         # for THIS worst-case tilt; set_params must not silently exceed it.
@@ -346,7 +351,9 @@ class Simulation:
                         "the engine's layout can absorb (try engine='blocked'"
                         " or a larger initial capacity)"
                     )
-                self.config = grow_config(self.config)
+                self.config = grow_config(
+                    self.config, flags=int(new_state.nbr_overflow)
+                )
                 self.state = snapshot
                 self.metrics["overflow_retries"] += 1
                 continue
@@ -414,7 +421,7 @@ class Simulation:
             step=jnp.asarray(int(d["step"]), jnp.int32),
             tilt_xy=jnp.asarray(float(d["tilt_xy"]), jnp.float32),
             m_lanczos=jnp.asarray(int(d["m_lanczos"]), jnp.int32),
-            nbr_overflow=jnp.asarray(False),
+            nbr_overflow=jnp.asarray(0, jnp.int32),
         )
         # A 'now'-anchored protocol attached before restore re-anchors to the
         # restored step (explicit-int offsets are left alone).

@@ -22,6 +22,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .box import Box, make_fraction
 
@@ -97,6 +99,101 @@ def _scatter_fields(pos_sorted, order, sorted_cid, rank_clip, c_total, cap):
     return px, py, pz, mask, pidf.astype(jnp.int32)
 
 
+def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
+    """Grid (C // cpg,): per cell, 128-aligned wide reads of the cid-sorted
+    source rows at starts[c] + a lane roll + a count mask.
+
+    The cid-sort makes each cell's particles a CONTIGUOUS source range, so
+    the (N,) -> (C, cap) placement is a per-cell shift — the same
+    read-wide + pltpu.roll pattern as the banded kernels — instead of the
+    serialized XLA row scatter it replaces (measured ~0.1 G rows/s,
+    ~1.6 ms/step across the two binnings at bench scale).
+
+    The shift runs in 128-lane output chunks, each from its own (4, 256)
+    read with a positive-biased roll: dynamic pltpu.roll with a NEGATIVE
+    shift wraps modulo the next power-of-two lane width on hardware
+    (measured, tools/diag_roll.py — wrong at 384/640/768 lanes; interpret
+    mode agrees at any width), and 256-wide reads keep the per-cell VMEM
+    traffic bounded for any cap.
+
+    Output rows per cell: [x, y, z, mask, pid, 0, 0, 0]; pad slots get
+    mask 0 / pid n / positions 0 (the CellBins contract).
+    """
+    g = pl.program_id(0)
+    for ci in range(cpg):
+        c = g * cpg + ci
+        s0 = starts_ref[c]
+        a0 = pl.multiple_of(s0 // 128 * 128, 128)
+        # + 256 biases the roll positive: negative dynamic rolls wrap mod
+        # the next power-of-two width on hardware (tools/diag_roll.py)
+        sh = a0 - s0 + 256
+        cnt = counts_ref[c]
+        for k in range(cap_r // 128):
+            win = pltpu.roll(
+                src_ref[:, pl.ds(a0 + 128 * k, 256)], sh, 1
+            )[:, :128]                                        # (4, 128)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) + 128 * k
+            valid = iota < cnt
+            sl = slice(128 * k, 128 * (k + 1))
+            out_ref[ci, 0:3, sl] = jnp.where(valid, win[0:3], 0.0)
+            out_ref[ci, 3:4, sl] = jnp.where(valid, 1.0, 0.0)
+            out_ref[ci, 4:5, sl] = jnp.where(valid, win[3:4], float(n))
+        out_ref[ci, 5:8] = jnp.zeros((3, cap_r), jnp.float32)
+
+
+def _fill_cells_pallas(pos_sorted_t, order, starts, counts, c_total, cap, n,
+                       interpret=False):
+    """(4, N) cid-sorted rows -> px/py/pz/mask/pid in (C, cap) via the
+    ragged-shift kernel.  ``pos_sorted_t`` rows are (x, y, z); ``order``
+    rides as the pid row (exact as f32 for N < 2^24)."""
+    assert n < (1 << 24), "pid-as-f32 packing requires N < 2^24"
+    cap_r = -(-cap // 128) * 128         # kernel writes full 128-lane chunks
+    n_pad = -(-n // 128) * 128 + cap_r + 128
+    src = jnp.concatenate(
+        [pos_sorted_t, order.astype(jnp.float32)[None]], axis=0
+    )                                                     # (4, N)
+    src = jnp.pad(src, ((0, 0), (0, n_pad - n)))
+    cpg = next((d for d in (8, 4, 2) if c_total % d == 0), 1)
+    starts_ext = jnp.minimum(starts, jnp.int32(n))
+    out = pl.pallas_call(
+        partial(_fill_kernel, cap_r=cap_r, cpg=cpg, n=n),
+        grid=(c_total // cpg,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # starts (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # counts (C,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # src (whole)
+        ],
+        out_specs=pl.BlockSpec(
+            (cpg, 8, cap_r), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((c_total, 8, cap_r), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(starts_ext, counts, src)
+    px, py, pz, mask, pidf = (out[:, k, :cap] for k in range(5))
+    return px, py, pz, mask, pidf.astype(jnp.int32)
+
+
+def _cell_starts_counts(sorted_cid, c_total, cap):
+    """Per-cell start offsets / occupancies of the cid-sorted array, plus
+    the clipped within-cell ranks (rank_of payloads) and overflow flag."""
+    n = sorted_cid.shape[0]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    starts = jnp.searchsorted(
+        sorted_cid, jnp.arange(c_total, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.diff(jnp.concatenate([starts, jnp.array([n], jnp.int32)]))
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
+    rank_sorted = arange - seg_start
+    overflow = (rank_sorted >= cap).any()
+    return starts, counts, rank_sorted, overflow
+
+
 def choose_cap(mean_occupancy: float, multiple: int = 8, slack_sigmas: float = 5.0) -> int:
     """Capacity covering Poisson occupancy tails, rounded to a tile multiple."""
     mu = max(mean_occupancy, 1e-3)
@@ -129,17 +226,25 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     sorted_cid, order, sx, sy, sz = jax.lax.sort(
         (cid, arange, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=2
     )
-    is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
-    rank_sorted = arange - seg_start
-    overflow = (rank_sorted >= cap).any()
-    rank_clip = jnp.minimum(rank_sorted, cap - 1)
-
-    rank_of = _invert_perm_payload(order, rank_sorted)
-    px, py, pz, mask, pid = _scatter_fields(
-        jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
-        c_total, cap,
+    starts, counts, rank_sorted, overflow = _cell_starts_counts(
+        sorted_cid, c_total, cap
     )
+    rank_clip = jnp.minimum(rank_sorted, cap - 1)
+    rank_of = _invert_perm_payload(order, rank_sorted)
+
+    if jax.default_backend() == "tpu":
+        # Ragged-shift Pallas fill (the XLA row scatter serializes); off-TPU
+        # keeps the scatter — interpret-mode Pallas costs minutes of compile
+        # per binning config, and CPU scatters are fine.
+        px, py, pz, mask, pid = _fill_cells_pallas(
+            jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
+            c_total, cap, n,
+        )
+    else:
+        px, py, pz, mask, pid = _scatter_fields(
+            jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
+            c_total, cap,
+        )
 
     return CellBins(
         px=px, py=py, pz=pz, mask=mask, pid=pid,
@@ -190,19 +295,22 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     sorted_cid, sz, order, sx, sy = jax.lax.sort(
         (cid, z_c, arange, x_c, y_c), num_keys=3
     )
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    starts, counts, rank_sorted, overflow = _cell_starts_counts(
+        sorted_cid, c_total, cap
     )
-    seg_start = jax.lax.cummax(jnp.where(is_start, arange, 0))
-    rank_sorted = arange - seg_start
-    overflow = (rank_sorted >= cap).any()
     rank_clip = jnp.minimum(rank_sorted, cap - 1)
-
     rank_of = _invert_perm_payload(order, rank_sorted)
-    px, py, pz, mask, pid = _scatter_fields(
-        jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
-        c_total, cap,
-    )
+
+    if jax.default_backend() == "tpu":
+        px, py, pz, mask, pid = _fill_cells_pallas(
+            jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
+            c_total, cap, n,
+        )
+    else:
+        px, py, pz, mask, pid = _scatter_fields(
+            jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
+            c_total, cap,
+        )
 
     return CellBins(
         px=px, py=py, pz=pz, mask=mask, pid=pid,

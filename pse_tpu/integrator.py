@@ -50,6 +50,22 @@ from .ops import column_farfield as cff
 from .ops.chebyshev import ChebPair, fit_pair_functions
 
 
+# Sticky-overflow bitmask (State.nbr_overflow): which capacity blew, so
+# grow_config enlarges only that one (a band-window overflow must not also
+# double m_max, and a cell-cap overflow must not widen the band window —
+# window growth doubles the A stream, the step's dominant cost).
+OVF_NF = 1        # near-field cell/column capacity
+OVF_BAND = 2      # banded window width
+OVF_FF = 4        # far-field cell capacity
+OVF_LANCZOS = 8   # Lanczos m_max hit unconverged
+OVF_NBR = 16      # gather-engine neighbor capacity
+
+
+def _ovf(flag, bit: int):
+    """() bool -> () i32 overflow bit."""
+    return jnp.where(flag, jnp.int32(bit), jnp.int32(0))
+
+
 class State(NamedTuple):
     """Integration state pytree (replaces HOOMD ParticleData for PSE needs)."""
 
@@ -58,7 +74,8 @@ class State(NamedTuple):
     step: jax.Array       # () i32 — timestep counter
     tilt_xy: jax.Array    # () f32 — current box xy tilt (strain)
     m_lanczos: jax.Array  # () i32 — Lanczos warm start (Stokes.h:157; init 2)
-    nbr_overflow: jax.Array  # () bool — sticky capacity-overflow flag
+    nbr_overflow: jax.Array  # () i32 — sticky capacity-overflow bitmask
+                             #          (OVF_*; 0 = clean, truthy = overflow)
 
 
 def make_state(pos, step: int = 0, tilt_xy: float = 0.0) -> State:
@@ -69,7 +86,7 @@ def make_state(pos, step: int = 0, tilt_xy: float = 0.0) -> State:
         step=jnp.asarray(step, jnp.int32),
         tilt_xy=jnp.asarray(tilt_xy, jnp.float32),
         m_lanczos=jnp.asarray(2, jnp.int32),
-        nbr_overflow=jnp.asarray(False),
+        nbr_overflow=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -123,6 +140,7 @@ def make_config(
     has_forces: bool = True,
     shard_slabs: int = 1,
     ff_weight_dtype: str | None = None,
+    nbr_subdiv: int = 1,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
@@ -149,7 +167,7 @@ def make_config(
     max_tilt = params.max_strain if max_tilt is None else max_tilt
     nbr_spec = make_spec(
         n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
-        max_neighbors=max_neighbors,
+        max_neighbors=max_neighbors, subdiv=nbr_subdiv,
     )
 
     nf_spec = ff_spec = cheb = band_spec = None
@@ -211,50 +229,66 @@ def _cheb_tol(block_dtype: str) -> float:
     return 3e-5 if block_dtype == "bfloat16" else 1e-6
 
 
-def grow_config(config: StepConfig, factor: float = 1.4) -> StepConfig:
-    """Enlarge whichever capacities overflowed (host-side; recompiles)."""
+def grow_config(
+    config: StepConfig, factor: float = 1.4, flags: int | None = None
+) -> StepConfig:
+    """Enlarge the capacities named by the overflow bitmask ``flags``
+    (State.nbr_overflow; None grows everything) — host-side; recompiles.
+
+    Selective growth matters: widening the band window doubles the A
+    stream (the step's dominant cost) and doubling m_max inflates every
+    Lanczos eigh, so a far-field cell-cap overflow must not trigger them.
+    """
     from .neighbors import grow_spec
 
-    changes = {"nbr_spec": grow_spec(config.nbr_spec, factor)}
-    if config.thermal:
-        # Lanczos cap-hit shares the sticky flag: double m_max (the
-        # per-iteration eigh is O(m_max³) and the basis O(m_max·3N), so the
-        # default cap is tight and growth is the recovery path).  100 is the
-        # reference's fixed cap (Brownian.cu:397).
+    if flags is None:
+        flags = OVF_NF | OVF_BAND | OVF_FF | OVF_LANCZOS | OVF_NBR
+    flags = int(flags)
+
+    changes = {}
+    if flags & OVF_NBR:
+        changes["nbr_spec"] = grow_spec(config.nbr_spec, factor)
+    if flags & OVF_LANCZOS and config.thermal:
+        # The per-iteration eigh is O(m_max³) and the basis O(m_max·3N), so
+        # the default cap is tight and growth is the recovery path.  100 is
+        # the reference's fixed cap (Brownian.cu:397).
         changes["m_max"] = min(max(config.m_max * 2, config.m_max + 8), 100)
-    if config.nf_spec is not None:
+    if flags & OVF_NF and config.nf_spec is not None:
         bins = config.nf_spec.bins
         changes["nf_spec"] = config.nf_spec._replace(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
         )
-    if config.ff_spec is not None:
+    if flags & OVF_FF and config.ff_spec is not None:
         bins = config.ff_spec.bins
         changes["ff_spec"] = config.ff_spec._replace(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
         )
-    if config.colff_spec is not None:
+    if flags & OVF_FF and config.colff_spec is not None:
         bins = config.colff_spec.bins
         changes["colff_spec"] = config.colff_spec._replace(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
         )
-    if config.band_spec is not None:
+    if config.band_spec is not None and flags & (OVF_NF | OVF_BAND):
         bs = config.band_spec
-        # Preserve the make_band_spec invariant the kernels were validated
-        # under: window <= 256 and cap >= window.  A band overflow is most
-        # cheaply absorbed by SHRINKING the row tile first (halves the
-        # tile z-extent the window must cover, A bytes unchanged); only
-        # then widen the window in 64-lane steps up to 256; past that only
-        # cap keeps growing (a persistent band overflow then surfaces via
-        # Simulation.run's retry limit).
-        if bs.rows > 16:
-            rows, window = 16, bs.window
-        else:
-            rows, window = bs.rows, min(bs.window + 64, 256)
-        cap = max(int(-(-bs.bins.cap * factor // rows)) * rows, window)
+        rows, window = bs.rows, bs.window
+        cap = bs.bins.cap
+        if flags & OVF_BAND:
+            # Preserve the make_band_spec invariant the kernels were
+            # validated under: window <= 256 and cap >= window.  A band
+            # overflow is most cheaply absorbed by SHRINKING the row tile
+            # first (halves the tile z-extent the window must cover, A
+            # bytes unchanged); only then widen the window in 64-lane steps
+            # up to 256 (a persistent band overflow then surfaces via
+            # Simulation.run's retry limit).
+            if rows > 16:
+                rows = 16
+            else:
+                window = min(window + 64, 256)
+        if flags & OVF_NF:
+            cap = int(-(-cap * factor // rows)) * rows
+        cap = max(-(-cap // rows) * rows, window)
         changes["band_spec"] = bs._replace(
-            bins=bs.bins._replace(cap=cap),
-            rows=rows,
-            window=window,             # band overflow shares the sticky flag
+            bins=bs.bins._replace(cap=cap), rows=rows, window=window
         )
     return dataclasses.replace(config, **changes)
 
@@ -333,7 +367,7 @@ def _prepare_gather(config, pos, box):
         p.ewald_cut, p.ewald_dr, p.ewald_n,
     )
     taps = farfield.compute_taps(pos, box, p)
-    return _GatherCtx(coeffs, taps), nlist.overflow
+    return _GatherCtx(coeffs, taps), _ovf(nlist.overflow, OVF_NBR)
 
 
 def _ff_bin_spec(config):
@@ -395,7 +429,7 @@ def _prepare_blocked(config, pos, box):
         nf_bins, box, config.nf_spec, config.cheb, p.ewald_cut, p.ewald_dr
     )
     ff_weights = _ff_shared(config, ff_bins, box)
-    overflow = nf_bins.overflow | ff_bins.overflow
+    overflow = _ovf(nf_bins.overflow, OVF_NF) | _ovf(ff_bins.overflow, OVF_FF)
     return _BlockedCtx(nf_bins, ff_bins, blocks, ff_weights), overflow
 
 
@@ -404,12 +438,14 @@ def _prepare_banded(config, pos, box):
     bs = config.band_spec
     nf_bins = bin_columns(pos, box, bs.bins)
     ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
-    j0, n_valid, band_overflow, zsh = bdn.compute_windows(
-        nf_bins, bs, box, p.ewald_cut
-    )
     # Off-TPU the matvec runs the pure-XLA reference (gathers are fast on
     # CPU; interpret-mode Pallas costs minutes of compile per config), so
-    # the pair blocks are only built for real Mosaic execution.
+    # the pair blocks are only built for real Mosaic execution — and the
+    # kernels only read the stored half-stencil's windows.
+    offs = bs.offsets if _pallas_interpret() else bs.offsets[:bdn.N_HALF]
+    j0, n_valid, band_overflow, zsh = bdn.compute_windows(
+        nf_bins, bs, box, p.ewald_cut, offsets=offs
+    )
     blocks = pos_cyc = own_pos = None
     if not _pallas_interpret():
         blocks, pos_cyc = bdn.build_banded_blocks(
@@ -418,7 +454,11 @@ def _prepare_banded(config, pos, box):
         )
         own_pos = bdn.make_own_pos(nf_bins, bs)
     ff_weights = _ff_shared(config, ff_bins, box)
-    overflow = nf_bins.overflow | ff_bins.overflow | band_overflow
+    overflow = (
+        _ovf(nf_bins.overflow, OVF_NF)
+        | _ovf(ff_bins.overflow, OVF_FF)
+        | _ovf(band_overflow, OVF_BAND)
+    )
     return (
         _BandedCtx(nf_bins, ff_bins, j0, n_valid, zsh, blocks, pos_cyc,
                    own_pos, ff_weights,
@@ -639,7 +679,7 @@ def brownian_displacement(config: StepConfig, pos, tilt_xy, step, m_start, T, dt
         lambda vt: eng.mreal_t(ctx, vt), psi, p.error, m_start, config.m_max
     )
     u_real = jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
-    return u_wave + u_real, m_used, overflow | hit_cap
+    return u_wave + u_real, m_used, overflow | _ovf(hit_cap, OVF_LANCZOS)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -757,9 +797,9 @@ def step_impl(
                 w0=w0,
             )
         # An unconverged-at-m_max Lanczos is a capacity problem like any
-        # other: fold it into the sticky overflow flag so Simulation.run
+        # other: fold it into the sticky overflow mask so Simulation.run
         # rewinds and regrows (grow_config doubles m_max).
-        overflow = overflow | hit_cap
+        overflow = overflow | _ovf(hit_cap, OVF_LANCZOS)
         u = u + jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
 
     # --- Euler update with shear advection + PBC wrap ----------------------

@@ -128,7 +128,15 @@ def make_band_spec(
 
     def w_of(r):
         need = band + r + 5.0 * math.sqrt(max(band, 1.0)) + 10.0
-        return max(64, int(math.ceil(need / 64.0)) * 64), need
+        w = max(64, int(math.ceil(need / 64.0)) * 64)
+        # A window that only just fits trips the per-step band fluctuation
+        # check (band > W - 8, compute_windows) and regrows mid-run — the
+        # estimate already carries 5σ slack, so demand a further ~10-lane
+        # margin before accepting a size (measured: margin 4 at ξ=0.75
+        # bench scale overflows within a few rebins; margin ≥ 12 is quiet).
+        if w - need < 10.0:
+            w += 64
+        return w, need
 
     choices = [rows] if rows != 32 else [32, 16]
     w16, _ = w_of(16)
@@ -157,7 +165,8 @@ def make_band_spec(
 
 
 def compute_windows(
-    bins: CellBins, spec: BandSpec, box: Box, rcut: float, col_mask=None
+    bins: CellBins, spec: BandSpec, box: Box, rcut: float, col_mask=None,
+    offsets: tuple | None = None,
 ):
     """Per-(offset, column, tile) band window starts in CYCLIC rank
     coordinates.
@@ -204,10 +213,17 @@ def compute_windows(
         # windows are consumed; halo rows may see wrong rolled data
         valid_tile = valid_tile & col_mask[:, None]
 
+    # The Pallas path stores/reads only the first N_HALF offsets' windows
+    # (mirrors apply as in-kernel transposes), so it passes
+    # offsets=spec.offsets[:N_HALF]: half the window compute, and a mirror
+    # window wider than W — which loses no pairs — cannot flag overflow.
+    # The pure-XLA reference matvec materializes all O windows.
+    if offsets is None:
+        offsets = spec.offsets
     j0s = []
     zshs = []
     overflow = jnp.asarray(False)
-    for (ox, oy) in spec.offsets:
+    for (ox, oy) in offsets:
         zn = roll_cells(z, spec.bins, (ox, oy, 0))         # neighbor column z
         nv = roll_cells(n_valid[:, None], spec.bins, (ox, oy, 0))[:, 0]
 
@@ -240,6 +256,26 @@ def extend_slots(arr: jax.Array, spec: BandSpec) -> jax.Array:
     reps = -(-pad // arr.shape[-1])
     tail = jnp.concatenate([arr] * reps, axis=-1)[..., :pad] if reps > 1 else arr[..., :pad]
     return jnp.concatenate([arr, tail], axis=-1)
+
+
+def _pack_jz(j0: jax.Array, zsh: jax.Array, Lz: float) -> jax.Array:
+    """(N_HALF, C·T) i32 SMEM table packing the window start and z-shift:
+    (j0 // 8) << 2 | (round(zsh / Lz) + 1).
+
+    j0 is 8-quantized (compute_windows) and zsh is EXACTLY one of
+    {-Lz, 0, +Lz}, so both fit one scalar — at ξ ≥ 0.8 bench scales the
+    separate (5, C·T) i32 + f32 tables overflowed the kernels' 1 MB SMEM
+    (measured: 1.13 MB at C=651, T=28)."""
+    code = jnp.round(zsh / Lz).astype(jnp.int32) + 1
+    return ((j0[:N_HALF] // 8) << 2 | code[:N_HALF]).reshape(N_HALF, -1)
+
+
+def _unpack_j0(jz):
+    return (jz >> 2) * 8
+
+
+def _unpack_zsh(jz, Lz: float):
+    return ((jz & 3) - 1).astype(jnp.float32) * Lz
 
 
 def _read_width(spec: BandSpec) -> int:
@@ -337,6 +373,11 @@ def _pair_components(
         dx = dx - L[0] * img_x
 
     d2 = dx * dx + dy * dy + dz * dz
+    if same_slot.dtype != jnp.bool_:
+        # Mosaic cannot concatenate i1 mask vectors whose lane widths are
+        # not vreg multiples (W=64 windows) — kernels pass the self-pair
+        # mask as f32 0/1 instead (see _build_kernel).
+        same_slot = same_slot > 0.5
     valid = (mi * mj > 0.0) & (d2 < cut2) & (d2 >= dr2) & ~same_slot
 
     d2_safe = jnp.where(valid, d2, 1.0)
@@ -479,7 +520,7 @@ def matvec_banded_reference(
 
 
 def _build_kernel(
-    offs_ref, nv_ref, tilt_ref, j0_ref, zsh_ref, posm_ref, own_ref, a_ref,
+    offs_ref, nv_ref, tilt_ref, jz_ref, posm_ref, own_ref, a_ref,
     pos_ref, pcyc_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2,
 ):
@@ -544,21 +585,30 @@ def _build_kernel(
         wins = []
         sames = []
         for h in range(N_HALF):
-            j0 = j0_ref[h, c * T + t]
+            jz = jz_ref[h, c * T + t]
+            j0 = _unpack_j0(jz)
             nv = nvs[h]
             a0 = pl.multiple_of(j0 // 128 * 128, 128)
+            # + RW biases the dynamic shift positive: negative dynamic
+            # rolls silently wrap modulo the next power-of-two lane width
+            # on hardware (measured, tools/diag_roll.py) — wrong whenever
+            # RW is not a power of two (W >= 192 after regrow).
             win = pltpu.roll(
-                pcyc_ref[h, :, pl.ds(a0, RW)], a0 - j0, 1
+                pcyc_ref[h, :, pl.ds(a0, RW)], a0 - j0 + RW, 1
             )[:, :W]                                          # (4, W)
             use_main = (j0 + iota_w) < nv
             lane_ok = iota_w < nv
             jslot = jnp.where(use_main, j0 + iota_w, j0 + iota_w - nv)
             # fold the per-tile z image shift and the lane mask into the
             # window so one fused (R, 5W) evaluation serves all offsets
-            zw = win[2:3] - zsh_ref[h, c * T + t]
+            zw = win[2:3] - _unpack_zsh(jz, L[2])
             mw = jnp.where(lane_ok, win[3:4], 0.0)
             wins.append(jnp.concatenate([win[0:2], zw, mw], axis=0))
-            sames.append((h == 0) & (jslot == islot))         # (R, W)
+            # f32 0/1, not bool: concatenating i1 mask vectors at W=64
+            # lane widths needs an invalid vreg bitcast in Mosaic
+            sames.append(
+                jnp.where((h == 0) & (jslot == islot), 1.0, 0.0)  # (R, W)
+            )
         fq = jnp.concatenate(wins, axis=1)                    # (4, 5W)
         same = jnp.concatenate(sames, axis=1)                 # (R, 5W)
 
@@ -614,11 +664,10 @@ def build_banded_blocks(
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
-    # Only the N_HALF stored offsets are read in-kernel; slicing the SMEM
-    # tables matters — at large C the full (9, C*T) j0+zsh pair overflows
-    # the 1 MB SMEM budget (measured at xi=0.8 bench scale).
-    j0_flat = j0[:N_HALF].reshape(N_HALF, -1)
-    zsh_flat = zsh[:N_HALF].reshape(N_HALF, -1)
+    # Only the N_HALF stored offsets are read in-kernel, and j0+zsh pack
+    # into ONE i32 table — the full (9, C*T) pair overflows the 1 MB SMEM
+    # budget at large-C/regrown configs (measured at xi>=0.8 bench scale).
+    jz_flat = _pack_jz(j0, zsh, float(L[2]))
     kernel = partial(
         _build_kernel,
         spec=spec,
@@ -634,8 +683,7 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # zsh (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
             pl.BlockSpec((1, T, R, 8), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # own rows
@@ -668,15 +716,15 @@ def build_banded_blocks(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, tilt, j0_flat, zsh_flat, posm_pad, own_io)
+    )(offsets_arr, n_valid, tilt, jz_flat, posm_pad, own_io)
 
 
 def _matvec_kernel(
-    offs_ref, nv_ref, j0_ref, zsh_ref, a_ref, pcyc_ref, ownp_ref, ownf_ref,
+    offs_ref, nv_ref, jz_ref, a_ref, pcyc_ref, ownp_ref, ownf_ref,
     f_ref,
     u_ref,
     acct_ref, fcyc_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref, *,
-    spec: BandSpec, cps: int, nrhs: int = 1, parts: str = "both",
+    spec: BandSpec, L, cps: int, nrhs: int = 1, parts: str = "both",
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
     column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
@@ -816,11 +864,14 @@ def _matvec_kernel(
             # folds into the window z so dz is exact.
             wins = []
             for h in range(N_HALF):
-                j0h = j0_ref[h, c * T + t]
+                jzh = jz_ref[h, c * T + t]
+                j0h = _unpack_j0(jzh)
                 a0 = pl.multiple_of(j0h // 128 * 128, 128)
                 wide = fcyc_ref[h, :, pl.ds(a0, RW)]
-                win = pltpu.roll(wide, a0 - j0h, 1)[:, :W]     # (NR+3, W)
-                zq = win[NR + 2:NR + 3] - zsh_ref[h, c * T + t]
+                # + RW: negative dynamic rolls wrap mod next-pow2 width on
+                # hardware (tools/diag_roll.py) — bias the shift positive
+                win = pltpu.roll(wide, a0 - j0h + RW, 1)[:, :W]  # (NR+3, W)
+                zq = win[NR + 2:NR + 3] - _unpack_zsh(jzh, L[2])
                 wins.append(
                     jnp.concatenate([win[0:NR + 2], zq], axis=0)
                 )
@@ -953,7 +1004,7 @@ def _matvec_kernel(
                 ut = (uts[0] if nrhs == 1
                       else jnp.concatenate(uts, axis=0))       # (NR, 4W)
                 for h in range(NT):
-                    j0 = j0_ref[1 + h, c * T + t]
+                    j0 = _unpack_j0(jz_ref[1 + h, c * T + t])
                     a = pl.multiple_of(j0 // 128 * 128, 128)
                     w = jnp.pad(
                         ut[:, h * W:(h + 1) * W], ((0, 0), (0, RW - W))
@@ -970,8 +1021,8 @@ def _matvec_kernel(
             nv = nvs[1 + h]
             a2 = pl.multiple_of(nv // 128 * 128, 128)
             head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
-            tail_w = pltpu.roll(
-                acct_ref[h, :, pl.ds(a2, RW)], a2 - nv, 1
+            tail_w = pltpu.roll(          # + RW: keep the dynamic shift
+                acct_ref[h, :, pl.ds(a2, RW)], a2 - nv + RW, 1   # positive
             )[:, :W]
             u_ref[ci, 1 + h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
 
@@ -1046,9 +1097,9 @@ def matvec_banded(
         )
     cps = cols_per_step
 
-    j0_flat = j0[:N_HALF].reshape(N_HALF, -1)   # SMEM budget: stored offsets
-    zsh_flat = zsh[:N_HALF].reshape(N_HALF, -1)
-    kernel = partial(_matvec_kernel, spec=spec, cps=cps, nrhs=nrhs,
+    jz_flat = _pack_jz(j0, zsh, float(L[2]))    # SMEM budget: one i32 table
+    kernel = partial(_matvec_kernel, spec=spec,
+                     L=tuple(float(x) for x in L), cps=cps, nrhs=nrhs,
                      parts=parts)
 
     uo = pl.pallas_call(
@@ -1057,8 +1108,7 @@ def matvec_banded(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # j0 (whole)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # zsh (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
             pl.BlockSpec((1, cps, 2, S, N_HALF * W),
                          lambda g: (0, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # A (streamed)
@@ -1097,7 +1147,7 @@ def matvec_banded(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, j0_flat, zsh_flat, blocks, pos_cyc, own_pos,
+    )(offsets_arr, n_valid, jz_flat, blocks, pos_cyc, own_pos,
       own_f, f_pad)
 
     u = jnp.moveaxis(uo[:, 0], 1, 0)                    # (NR, C, S) forward

@@ -99,14 +99,14 @@ def make_ff_spec(
     # dtype matches the compute precision the backend actually uses.
     full_precision = params.error < 1e-3
     if weight_dtype is None:
-        # Resolved from the live backend only when the caller didn't choose:
-        # explicit weight_dtype keeps spec construction backend-free (the
-        # axon plugin binds on first backend query — CLAUDE.md gotcha).
-        import jax
+        # Resolved WITHOUT initializing the backend when jax_platforms is
+        # pinned (utils/backend.py); explicit weight_dtype keeps spec
+        # construction fully backend-free.
+        from ..utils.backend import probable_backend
 
         weight_dtype = (
             "bfloat16"
-            if (not full_precision and jax.default_backend() == "tpu")
+            if (not full_precision and probable_backend() == "tpu")
             else "float32"
         )
     elif full_precision and weight_dtype == "bfloat16":

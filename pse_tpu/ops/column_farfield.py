@@ -91,11 +91,11 @@ def make_col_spec(
 
     full_precision = params.error < 1e-3
     if weight_dtype is None:
-        import jax as _jax
+        from ..utils.backend import probable_backend
 
         weight_dtype = (
             "bfloat16"
-            if (not full_precision and _jax.default_backend() == "tpu")
+            if (not full_precision and probable_backend() == "tpu")
             else "float32"
         )
     elif full_precision and weight_dtype == "bfloat16":

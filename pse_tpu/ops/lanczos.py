@@ -112,7 +112,7 @@ def sqrt_mreal(
     v0 = psi_flat / vnorm
     warm = jnp.clip(jnp.asarray(m_start, jnp.int32) - 1, 1, m_max - 1)
 
-    def iter_with_w(state: _LanczosState, w_raw) -> _LanczosState:
+    def iter_with_w(state: _LanczosState, w_raw, assemble: bool) -> _LanczosState:
         j = state.j
         V = jax.lax.dynamic_update_index_in_dim(state.V, state.vj, j, axis=0)
         beta = state.beta.at[j].set(state.tempbeta)
@@ -125,16 +125,21 @@ def sqrt_mreal(
         breakdown = nb < eps_breakdown
         vnext = w / jnp.where(breakdown, 1.0, nb)
 
-        # The T^{1/2}e1 coefficient assembly runs EVERY iteration,
-        # unconditionally — a lax.cond here materialized its captured
-        # operands (measured ~0.34 ms/iteration of pure overhead).  The
-        # convergence TEST still honors the warm start (cond() below), so
-        # the adaptive-m semantics are unchanged, breakdown truncation
-        # included (Brownian.cu:507-510).
-        f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
-        psi_m_psi = alpha[0]
-        df = f - state.f
-        stepnorm = jnp.sqrt(_dot(df, df) / psi_m_psi)
+        # ``assemble``: the T^{1/2}e1 coefficient assembly (eigh + its
+        # small-op storm) runs only in iterations whose stepnorm can reach
+        # the stopping test — the warm-start phase skips it (its stepnorms
+        # are overridden by the `j < warm + 1` floor anyway), and the final
+        # result vector is assembled ONCE after the loops from the stored
+        # (alpha, beta).  Within an assembling iteration the math is
+        # unconditional — a lax.cond here materialized its captured
+        # operands (measured ~0.34 ms/iteration of pure overhead).
+        if assemble:
+            f = _sqrt_tridiag_e1(alpha, beta, state.V.shape[0])
+            psi_m_psi = alpha[0]
+            df = f - state.f
+            stepnorm = jnp.sqrt(_dot(df, df) / psi_m_psi)
+        else:
+            f, stepnorm = state.f, state.stepnorm
 
         return _LanczosState(
             j=j + 1,
@@ -149,8 +154,20 @@ def sqrt_mreal(
             breakdown=breakdown,
         )
 
+    def warm_iter(state: _LanczosState) -> _LanczosState:
+        return iter_with_w(state, matvec(state.vj), assemble=False)
+
     def lanczos_iter(state: _LanczosState) -> _LanczosState:
-        return iter_with_w(state, matvec(state.vj))
+        return iter_with_w(state, matvec(state.vj), assemble=True)
+
+    def warm_cond(state: _LanczosState):
+        # Iterations 0..warm-2 never decide convergence: the stopping test
+        # below keeps iterating while j < warm + 1 regardless of stepnorm,
+        # and the deciding stepnorm |f_warm - f_{warm-1}| only needs f from
+        # iterations warm-1 and warm — so everything earlier can skip the
+        # assembly entirely (f stays 0; the first assembling iteration's
+        # stepnorm is then ||f|| >> error, which the j-floor overrides).
+        return (state.j < warm - 1) & ~state.breakdown
 
     def cond(state: _LanczosState):
         need_more = (state.j < warm + 1) | (state.stepnorm > error)
@@ -171,17 +188,23 @@ def sqrt_mreal(
 
     # First iteration unrolled: its matvec result may be precomputed (w0,
     # the 2-RHS fusion) — at j=0, tempbeta=0 and vjm1=0, so w_raw = M·v₀
-    # exactly.  The while_loop then continues from j=1 with the same body.
+    # exactly.  It runs assembly-free like the rest of the warm phase (the
+    # only case where iteration 0 could decide is a cold m_start ≤ 2 that
+    # converges immediately — then one extra iteration runs; never fewer).
     first_w = (
         matvec(v0) if w0 is None
         else jnp.asarray(w0, dtype).reshape(-1)
     )
-    state1 = iter_with_w(init, first_w)
-    final = jax.lax.while_loop(cond, lanczos_iter, state1)
-    # ONE basis contraction for the result vector (the loop converged on
-    # coefficients alone).
+    state1 = iter_with_w(init, first_w, assemble=False)
+    state_w = jax.lax.while_loop(warm_cond, warm_iter, state1)
+    final = jax.lax.while_loop(cond, lanczos_iter, state_w)
+    # The result coefficients are assembled ONCE from the stored (alpha,
+    # beta) — also what makes the warm phase's skipped assemblies safe,
+    # breakdown truncation included (zero-padded trailing blocks decouple,
+    # Brownian.cu:507-510 semantics), then ONE basis contraction.
+    f_final = _sqrt_tridiag_e1(final.alpha, final.beta, m_max)
     vel = jnp.einsum(
-        "m,mf->f", final.f, final.V, preferred_element_type=jnp.float32
+        "m,mf->f", f_final, final.V, preferred_element_type=jnp.float32
     ).astype(dtype)
     u = (vel * psinorm).reshape(3, n).T
     hit_cap = (

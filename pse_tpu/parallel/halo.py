@@ -127,8 +127,11 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         # outputs are discarded, so gate the overflow check on the interior.
         cx = jnp.arange(C_loc, dtype=jnp.int32) // ncy
         col_ok = (cx >= 1) & (cx <= nxl)
+        offs = (spec_loc.offsets if interpret
+                else spec_loc.offsets[:bdn.N_HALF])
         j0, nv, ovf, zsh = bdn.compute_windows(
-            bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok
+            bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok,
+            offsets=offs,
         )
         if interpret:
             blocks = jnp.zeros((1,), jnp.float32)   # unused placeholders
@@ -194,7 +197,11 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             nf_bins, box.tilt_xy
         )
         ff_weights = integrator._ff_shared(config, ff_bins, box)
-        overflow = nf_bins.overflow | ff_bins.overflow | jnp.any(ovf)
+        overflow = (
+            integrator._ovf(nf_bins.overflow, integrator.OVF_NF)
+            | integrator._ovf(ff_bins.overflow, integrator.OVF_FF)
+            | integrator._ovf(jnp.any(ovf), integrator.OVF_BAND)
+        )
         return (
             _HaloCtx(nf_bins, ff_bins, j0e, nve, zshe, blocks_e, pcyc_e,
                      ownp_e, ff_weights,

@@ -129,6 +129,17 @@ def main():
         occ = c.get("metrics", {}).get("occurrences", 0)
         print(f"  {t/1e12/n_steps*1e3:7.3f} ms/step  {occ/n_steps:7.1f}/step"
               f"  {c.get('name', '?')}")
+        kids = sorted(
+            c.get("children", []),
+            key=lambda k: -k.get("metrics", {}).get("rawTime", 0),
+        )
+        for k in kids[:8]:
+            kt = k.get("metrics", {}).get("rawTime", 0)
+            kocc = k.get("metrics", {}).get("occurrences", 0)
+            if kt / 1e12 / n_steps * 1e3 < 0.05:
+                break
+            print(f"      {kt/1e12/n_steps*1e3:7.3f} ms/step "
+                  f"{kocc/n_steps:6.1f}/step  {k.get('name', '?')[:90]}")
 
 
 if __name__ == "__main__":
