@@ -305,11 +305,25 @@ def test_run_raises_on_persistent_overflow():
         sim.run(5, max_regrow=0)
 
 
-def test_nlist_tree_stencil_warn_and_map_to_cell():
-    """tree/stencil are accepted for reference API parity (integrate.py:60-74)
-    but map to the TPU cell backend with a documented warning."""
+def test_nlist_tree_warns_stencil_is_genuine():
+    """tree is accepted for reference API parity (integrate.py:60-68) but
+    maps to the TPU cell backend with a documented warning; stencil is a
+    genuine finer-cell backend (neighbors.NeighborSpec.subdiv=2) and builds
+    a subdivided neighbor spec without warning."""
+    import warnings
+
     with pytest.warns(UserWarning, match="no TPU-native analogue"):
         m = pse.integrate.PSEv1(nlist_type="tree")
     assert m.nlist_type == "tree"
-    with pytest.warns(UserWarning, match="cell-list backend"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         pse.integrate.PSEv1(nlist_type="stencil")
+
+    n, L = 400, 20.0
+    rng = np.random.default_rng(5)
+    pos0 = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    sim = pse.Simulation(positions=pos0, L=L, dt=1e-3)
+    sim.set_integrator(
+        pse.integrate.PSEv1(T=0.0, nlist_type="stencil"), verbose=False
+    )
+    assert sim.config.nbr_spec.subdiv == 2

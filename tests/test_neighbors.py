@@ -50,6 +50,39 @@ def test_cell_list_matches_bruteforce_tilted():
     _check_agreement(pos, box, spec)
 
 
+def test_stencil_backend_matches_bruteforce():
+    """subdiv=2 (nlist_type='stencil': rcut/2 cells, 125-stencil) finds the
+    identical neighbor sets, cubic and tilted."""
+    rng = np.random.default_rng(4)
+    L = 20.0
+    box = boxlib.make_box(L)
+    pos = rng.uniform(-L / 2, L / 2, size=(300, 3)).astype(np.float32)
+    spec = nb.make_spec(300, (L, L, L), rcut=3.0, subdiv=2)
+    assert not spec.all_pairs and spec.subdiv == 2
+    assert min(spec.n_cells) >= 5
+    _check_agreement(pos, box, spec)
+
+    Lt = (18.0, 22.0, 20.0)
+    boxt = boxlib.make_box(Lt, 0.45)
+    post = rng.uniform(-15, 15, size=(256, 3)).astype(np.float32)
+    post, _ = boxlib.wrap(boxt, jnp.asarray(post), jnp.zeros((256, 3), jnp.int32))
+    spect = nb.make_spec(256, Lt, rcut=3.5, max_tilt=0.5, subdiv=2)
+    assert not spect.all_pairs and spect.subdiv == 2
+    _check_agreement(np.asarray(post), boxt, spect)
+
+
+def test_stencil_nlist_type_is_wired():
+    """PSEv1(nlist_type='stencil') builds a subdiv=2 neighbor spec."""
+    import warnings
+
+    from pse_tpu.api import PSEv1
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # must NOT warn (tree does)
+        m = PSEv1(nlist_type="stencil")
+    assert m.nlist_type == "stencil"
+
+
 def test_all_pairs_small_box():
     rng = np.random.default_rng(2)
     L = 7.0  # too small for a 3x3x3 stencil at rcut=2.5
