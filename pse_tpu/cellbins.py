@@ -99,6 +99,16 @@ def _scatter_fields(pos_sorted, order, sorted_cid, rank_clip, c_total, cap):
     return px, py, pz, mask, pidf.astype(jnp.int32)
 
 
+def _use_fill_kernel(n: int) -> bool:
+    """The ragged-shift fill reads its (4, N) source as a whole-array VMEM
+    input; past ~4M particles that block alone crowds the ~128 MB VMEM, so
+    very large single-shard binnings keep the XLA scatter (the halo path
+    shards bins per device long before this matters)."""
+    import jax
+
+    return jax.default_backend() == "tpu" and n <= 4_000_000
+
+
 def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
     """Grid (C // cpg,): per cell, 128-aligned wide reads of the cid-sorted
     source rows at starts[c] + a lane roll + a count mask.
@@ -232,7 +242,7 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     rank_clip = jnp.minimum(rank_sorted, cap - 1)
     rank_of = _invert_perm_payload(order, rank_sorted)
 
-    if jax.default_backend() == "tpu":
+    if _use_fill_kernel(n):
         # Ragged-shift Pallas fill (the XLA row scatter serializes); off-TPU
         # keeps the scatter — interpret-mode Pallas costs minutes of compile
         # per binning config, and CPU scatters are fine.
@@ -301,7 +311,7 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     rank_clip = jnp.minimum(rank_sorted, cap - 1)
     rank_of = _invert_perm_payload(order, rank_sorted)
 
-    if jax.default_backend() == "tpu":
+    if _use_fill_kernel(n):
         px, py, pz, mask, pid = _fill_cells_pallas(
             jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
             c_total, cap, n,

@@ -63,8 +63,15 @@ def main():
 
     enable_compilation_cache()
 
+    def parse_rows(tok):
+        # "16" or "32:192" (rows:window) — per-variant window override
+        if ":" in tok:
+            r, w = tok.split(":")
+            return int(r), int(w)
+        return int(tok), args.window
+
     variants = [
-        (parts, int(rows), int(cps))
+        (parts, *parse_rows(rows), int(cps))
         for rows in args.rows.split(",")
         for cps in args.cps.split(",")
         for parts in args.parts.split(",")
@@ -86,9 +93,9 @@ def main():
 
     # --- compile + stage every variant up front -------------------------
     staged = []
-    for parts, rows, cps in variants:
+    for parts, rows, window, cps in variants:
         bs, cheb, p, _ = make_variant(args, pse, integrator, bdn, jnp,
-                                      rows, args.window)
+                                      rows, window)
         C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
         S = bs.bins.cap
         W = bs.window
