@@ -85,30 +85,35 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
         return run_chunk
 
     run_chunk = make_chunk(config)
-    for grow in range(3):
+    n_chunks = max(1, n_steps // chunk)
+    for grow in range(4):
         for _ in range(n_warm):
             state = run_chunk(state)
         np.asarray(state.pos)  # materialize (block_until_ready lies, CLAUDE.md)
+        phase = "warmup"
         if not bool(state.nbr_overflow):
-            break
-        # lattice commensuration can exceed the Poisson capacity slack at
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                state = run_chunk(state)
+            np.asarray(state.pos)
+            elapsed = time.perf_counter() - t0
+            # an overflow first hit DURING the timed steps means windows
+            # clipped (dropped pairs) — the timing is of a wrong program;
+            # regrow and re-time like a warmup overflow
+            if not bool(state.nbr_overflow):
+                break
+            phase = "timed steps"
+        # lattice commensuration or drift can exceed the capacity slack at
         # some xi; grow like Simulation.run (fresh compile per retry), only
         # the capacities the overflow mask names
         flags = int(state.nbr_overflow)
         config = integrator.grow_config(config, flags=flags)
         state = integrator.make_state(pos)
         run_chunk = make_chunk(config)
-        print(f"# capacity overflow at xi={xi} (mask={flags:#x}): grew spec, "
-              "retrying", file=sys.stderr)
+        print(f"# capacity overflow at xi={xi} in {phase} (mask={flags:#x}): "
+              "grew spec, retrying", file=sys.stderr)
     else:
         raise RuntimeError("capacity overflow persists after growth")
-
-    n_chunks = max(1, n_steps // chunk)
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        state = run_chunk(state)
-    np.asarray(state.pos)
-    elapsed = time.perf_counter() - t0
 
     steps_per_sec = n_chunks * chunk / elapsed
     return {

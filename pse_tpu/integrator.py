@@ -274,16 +274,17 @@ def grow_config(
         cap = bs.bins.cap
         if flags & OVF_BAND:
             # Preserve the make_band_spec invariant the kernels were
-            # validated under: window <= 256 and cap >= window.  A band
-            # overflow is most cheaply absorbed by SHRINKING the row tile
-            # first (halves the tile z-extent the window must cover, A
-            # bytes unchanged); only then widen the window in 64-lane steps
-            # up to 256 (a persistent band overflow then surfaces via
-            # Simulation.run's retry limit).
-            if rows > 16:
+            # validated under: window <= 256 and cap >= window.  Widening
+            # the window while KEEPING rows=32 measured faster than
+            # shrinking the row tile (W=192/R=32 beats W=128/R=16 ~10% at
+            # bench scale, tools/bench_matvec.py) — rows=32's halved
+            # per-tile overhead outweighs +50% A bytes.  Shrink rows only
+            # when the validated limits block widening (a persistent
+            # overflow then surfaces via Simulation.run's retry limit).
+            if window + 64 <= 256 and cap >= window + 64:
+                window += 64
+            elif rows > 16:
                 rows = 16
-            else:
-                window = min(window + 64, 256)
         if flags & OVF_NF:
             cap = int(-(-cap * factor // rows)) * rows
         cap = max(-(-cap // rows) * rows, window)

@@ -112,13 +112,6 @@ def make_band_spec(
 
     mu = n_particles / (ncx * ncy)            # mean column occupancy
 
-    # rows=32 beats rows=16 by ~33% on the matvec (fewer per-tile rolls /
-    # dot launches, tools/bench_matvec.py) but pays +rows lanes of window
-    # need; take it only when the rounded window keeps >= 16 lanes of
-    # headroom (a 1-lane margin measurably trips the per-step band
-    # fluctuation check -> a regrow mid-bench) AND doesn't round the
-    # window a 64-lane step higher than rows=16 would.
-    #
     # Expected band: ranks within 2*rcut of z, plus the tile extent, plus
     # slack for occupancy fluctuations between neighboring columns
     # (~5 sigma + 10).  Windows are multiples of 64: A bytes, build
@@ -130,7 +123,7 @@ def make_band_spec(
         need = band + r + 5.0 * math.sqrt(max(band, 1.0)) + 10.0
         w = max(64, int(math.ceil(need / 64.0)) * 64)
         # A window that only just fits trips the per-step band fluctuation
-        # check (band > W - 8, compute_windows) and regrows mid-run — the
+        # check (band > W, compute_windows) and regrows mid-run — the
         # estimate already carries 5σ slack, so demand a further ~10-lane
         # margin before accepting a size (measured: margin 4 at ξ=0.75
         # bench scale overflows within a few rebins; margin ≥ 12 is quiet).
@@ -138,16 +131,23 @@ def make_band_spec(
             w += 64
         return w, need
 
-    choices = [rows] if rows != 32 else [32, 16]
-    w16, _ = w_of(16)
-    for r in choices:
-        window, need = w_of(r)
-        if r > 16 and (window - need < 16.0 or window > w16):
-            continue
-        rows = r
-        break
+    # rows=32 halves the tile count and wins decisively on the matvec
+    # (interleaved A/B, tools/bench_matvec.py --rows 16:128,32:192,32:128
+    # at bench scale: R=32/W=128 2.18 ms, R=32/W=192 3.08 ms, R=16/W=128
+    # 3.44 ms) — even paying +50% A bytes for the wider window R=32 beats
+    # R=16.  So: take rows=32 at the rows=16 window whenever the 5-sigma
+    # need still fits it (one 64-lane step saved; j0 is unquantized so the
+    # overflow check is exactly band > W), else at its own window;
+    # grow_config's widen-window-first fallback keeps rows=32 if the
+    # margin gamble loses (one recompile, landing on the safe wider
+    # window).
+    if rows == 32:
+        w16, _ = w_of(16)
+        window, need = w_of(32)
+        if window > w16 and need <= w16:
+            window = w16
     else:
-        rows, window = 16, w16
+        window, _ = w_of(rows)
 
     # 4-sigma Poisson slack: A traffic scales with cap, and overflow is
     # recoverable (sticky flag -> regrow), so the tail can be tighter than
@@ -178,7 +178,6 @@ def compute_windows(
     periodic seam stays contiguous.  The kernels reconstruct slot indices
     with the per-column valid count (see matvec/build kernels).
 
-    j0 is quantized down to a multiple of 8 for aligned lane access.
     Returns (j0 (O, C, T) int32, n_valid (C,) int32, band_overflow bool,
     zsh (O, C, T) f32): overflow is set when a tile's band exceeds the
     effective window min(W, n_valid) — the regrow path widens W.
@@ -237,11 +236,11 @@ def compute_windows(
         # Cyclic coverage is min(W, n_valid) distinct slots; a band interval
         # longer than Lz double-counts ranks, hence the min with n_valid.
         band = jnp.minimum(j1 - j0, nv[:, None])
-        overflow = overflow | jnp.any(valid_tile & (band > W - 8))
+        overflow = overflow | jnp.any(valid_tile & (band > W))
         # A window starting past one full period aliases cyclically.
         aliased = j0 >= nv[:, None]
         j0 = jnp.where(aliased, j0 - nv[:, None], j0)
-        j0s.append(jnp.clip(j0 // 8 * 8, 0, S))
+        j0s.append(jnp.clip(j0, 0, S))
         zshs.append(shift - jnp.where(aliased, Lz, 0.0))
     return (jnp.stack(j0s, axis=0), n_valid, overflow,
             jnp.stack(zshs, axis=0).astype(jnp.float32))
@@ -260,18 +259,20 @@ def extend_slots(arr: jax.Array, spec: BandSpec) -> jax.Array:
 
 def _pack_jz(j0: jax.Array, zsh: jax.Array, Lz: float) -> jax.Array:
     """(N_HALF, C·T) i32 SMEM table packing the window start and z-shift:
-    (j0 // 8) << 2 | (round(zsh / Lz) + 1).
+    j0 << 2 | (round(zsh / Lz) + 1).
 
-    j0 is 8-quantized (compute_windows) and zsh is EXACTLY one of
-    {-Lz, 0, +Lz}, so both fit one scalar — at ξ ≥ 0.8 bench scales the
-    separate (5, C·T) i32 + f32 tables overflowed the kernels' 1 MB SMEM
-    (measured: 1.13 MB at C=651, T=28)."""
+    j0 < cap needs ~13 bits and zsh is EXACTLY one of {-Lz, 0, +Lz}, so
+    both fit one scalar — at ξ ≥ 0.8 bench scales the separate (5, C·T)
+    i32 + f32 tables overflowed the kernels' 1 MB SMEM (measured: 1.13 MB
+    at C=651, T=28).  j0 is deliberately NOT lane-quantized: the kernels
+    read 128-aligned wide stripes and roll, so any j0 works, and an
+    8-quantized start wastes up to 7 window lanes of band margin."""
     code = jnp.round(zsh / Lz).astype(jnp.int32) + 1
-    return ((j0[:N_HALF] // 8) << 2 | code[:N_HALF]).reshape(N_HALF, -1)
+    return (j0[:N_HALF] << 2 | code[:N_HALF]).reshape(N_HALF, -1)
 
 
 def _unpack_j0(jz):
-    return (jz >> 2) * 8
+    return jz >> 2
 
 
 def _unpack_zsh(jz, Lz: float):

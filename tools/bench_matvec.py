@@ -50,6 +50,9 @@ def main():
                     help="comma list of cols-per-step (0 = auto)")
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--allow-overflow", action="store_true",
+                    help="time despite band overflow (drops pairs: timing "
+                    "probe only, WRONG results)")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +110,10 @@ def main():
         box = make_box(p.L, 0.0)
         bins = bin_columns(jnp.asarray(pos), box, bs.bins)
         j0, nv, ovf, zsh = bdn.compute_windows(bins, bs, box, p.ewald_cut)
-        assert not bool(ovf), f"band overflow in {label}"
+        if bool(ovf):
+            assert args.allow_overflow, f"band overflow in {label}"
+            print(f"  [{label}] band OVERFLOW tolerated (timing probe)",
+                  flush=True)
         f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
 
         t0 = time.perf_counter()
