@@ -495,10 +495,10 @@ def _engine(config: StepConfig):
             return farfield.contract(ctx.taps, grid_v, p)
 
         def slots_of_psi(ctx, key, n):
-            return noise.particle_noise(key, n)             # (N, 3)
+            return noise.particle_noise_t(key, (n,))        # (3, N)
 
         def psi_result_to_particles(ctx, u):
-            return u
+            return u.T
     elif config.engine == "banded":
         bs = config.band_spec
 
@@ -514,31 +514,27 @@ def _engine(config: StepConfig):
                 ctx.zsh, bs, cells, p.self_mobility, p.L,
             )
 
-        def mreal_t(ctx, ft):
-            C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
-            cells = ft.reshape(3, C, bs.bins.cap)
-            return _nf_matvec(ctx, cells).reshape(3, -1)
+        def mreal_t(ctx, cells):
+            # native (3, C, cap) in and out — no reshape, so XLA inserts no
+            # retiling copy around the Pallas matvec custom call
+            return _nf_matvec(ctx, cells)
 
-        def mreal_t2(ctx, ft):
-            """(6, nslots) two-RHS matvec sharing one A stream (the fused
+        def mreal_t2(ctx, cells):
+            """(6, C, cap) two-RHS matvec sharing one A stream (the fused
             M·F + first-Lanczos-matvec path of step_impl)."""
-            C = bs.bins.n_cells[0] * bs.bins.n_cells[1]
-            cells = ft.reshape(6, C, bs.bins.cap)
             if _pallas_interpret():
-                u = jnp.concatenate(
+                return jnp.concatenate(
                     [_nf_matvec(ctx, cells[0:3]), _nf_matvec(ctx, cells[3:6])],
                     axis=0,
                 )
-            else:
-                u = bdn.matvec_banded(
-                    ctx.blocks, ctx.pos_cyc, ctx.own_pos, ctx.j0,
-                    ctx.n_valid, ctx.zsh, bs, cells, p.self_mobility, p.L,
-                )
-            return u.reshape(6, -1)
+            return bdn.matvec_banded(
+                ctx.blocks, ctx.pos_cyc, ctx.own_pos, ctx.j0,
+                ctx.n_valid, ctx.zsh, bs, cells, p.self_mobility, p.L,
+            )
 
         def f_slots_t(ctx, values):
-            """(N, 3) particle values -> (3, nslots) slot layout."""
-            return vec_to_cells(ctx.nf_bins, bs.bins, values).reshape(3, -1)
+            """(N, 3) particle values -> (3, C, cap) slot layout."""
+            return vec_to_cells(ctx.nf_bins, bs.bins, values)
 
         def mreal_particles(ctx, forces):
             cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
@@ -552,17 +548,12 @@ def _engine(config: StepConfig):
 
         def slots_of_psi(ctx, key, n):
             spec = bs.bins
-            u = noise.particle_noise(
-                key, spec.n_cells[0] * spec.n_cells[1] * spec.cap
-            )
-            m = ctx.nf_bins.mask.reshape(-1)
-            return u * m[:, None]                          # (C*cap, 3)
+            C = spec.n_cells[0] * spec.n_cells[1]
+            u = noise.particle_noise_t(key, (C, spec.cap))
+            return u * ctx.nf_bins.mask.reshape(1, C, spec.cap)
 
         def psi_result_to_particles(ctx, u):
-            spec = bs.bins
-            C = spec.n_cells[0] * spec.n_cells[1]
-            cells = u.T.reshape(3, C, spec.cap)
-            return vec_from_cells(ctx.nf_bins, spec, cells)
+            return vec_from_cells(ctx.nf_bins, bs.bins, u)   # u: (3, C, cap)
     else:
         nf_spec = config.nf_spec
         ff_spec = config.ff_spec
@@ -572,9 +563,8 @@ def _engine(config: StepConfig):
                 ctx.blocks, nf_spec, ctx.nf_bins, cells, p.self_mobility
             )
 
-        def mreal_t(ctx, ft):
-            cells = ft.reshape(3, nf_spec.bins.n_cells_total, nf_spec.bins.cap)
-            return _nf_matvec(ctx, cells).reshape(3, -1)
+        def mreal_t(ctx, cells):
+            return _nf_matvec(ctx, cells)                  # (3, C, cap)
 
         def mreal_particles(ctx, forces):
             cells = _nf_cells_of(config, ctx, forces)
@@ -588,14 +578,13 @@ def _engine(config: StepConfig):
 
         def slots_of_psi(ctx, key, n):
             spec = config.nf_spec.bins
-            u = noise.particle_noise(key, spec.n_cells_total * spec.cap)
-            m = ctx.nf_bins.mask.reshape(-1)
-            return u * m[:, None]                          # (C*cap, 3)
+            u = noise.particle_noise_t(key, (spec.n_cells_total, spec.cap))
+            return u * ctx.nf_bins.mask.reshape(
+                1, spec.n_cells_total, spec.cap
+            )
 
         def psi_result_to_particles(ctx, u):
-            spec = config.nf_spec.bins
-            cells = u.T.reshape(3, spec.n_cells_total, spec.cap)
-            return _nf_cells_back(config, ctx, cells)
+            return _nf_cells_back(config, ctx, u)          # u: (3, C, cap)
 
     class E:
         pass
@@ -780,13 +769,12 @@ def step_impl(
             # near-field's dominant cost).  v₀ normalization matches
             # lanczos.sqrt_mreal exactly (same expression, same trace).
             with jax.named_scope("pse_nearfield"):
-                psi_t = psi.T                              # (3, nslots)
-                vnorm = jnp.sqrt(jnp.sum(psi_t.reshape(-1) ** 2))
+                vnorm = jnp.sqrt(jnp.sum(psi * psi))       # psi: (3, C, cap)
                 ft2 = jnp.concatenate(
-                    [eng.f_slots_t(ctx, forces), psi_t / vnorm], axis=0
+                    [eng.f_slots_t(ctx, forces), psi / vnorm], axis=0
                 )
-                u2 = eng.mreal_t2(ctx, ft2)                # (6, nslots)
-                u = u + eng.psi_result_to_particles(ctx, u2[0:3].T)
+                u2 = eng.mreal_t2(ctx, ft2)                # (6, C, cap)
+                u = u + eng.psi_result_to_particles(ctx, u2[0:3])
                 w0 = u2[3:6]
         with jax.named_scope("pse_lanczos"):
             u_sqrt, m_used, hit_cap = lanczos.sqrt_mreal(

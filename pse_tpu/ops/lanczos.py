@@ -15,7 +15,7 @@ for XLA from the host-driven loop of gpu_stokes_BrealLanczos_wrap
   * the convergence test runs in COEFFICIENT space: with an orthonormal
     Krylov basis, ‖vel_j − vel_{j−1}‖ = ‖f_j − f_{j−1}‖ where
     f = T^{1/2}e₁ is the (m_max,) coefficient vector — so the loop never
-    touches the (m_max, 3N) basis, and the basis contraction runs ONCE
+    touches the (m_max, *S) basis, and the basis contraction runs ONCE
     after the loop instead of every iteration.  (The reference recomputes
     the full-length vector per iteration, Brownian.cu:604-736, because its
     loop lives on the host anyway; numerically the two tests agree to the
@@ -48,11 +48,11 @@ import jax.numpy as jnp
 
 class _LanczosState(NamedTuple):
     j: jax.Array            # iterations completed
-    V: jax.Array            # (m_max, 3N) basis — flat vectors (no tile pad)
+    V: jax.Array            # (m_max, *S) basis — engine-native layout
     alpha: jax.Array        # (m_max,)
     beta: jax.Array         # (m_max,)  beta[i] pairs V[i-1], V[i]
-    vj: jax.Array           # (3N,)
-    vjm1: jax.Array         # (3N,)
+    vj: jax.Array           # (*S,)
+    vjm1: jax.Array         # (*S,)
     tempbeta: jax.Array     # scalar: next beta to store
     f: jax.Array            # (m_max,) current T^{1/2}e1 coefficients
     stepnorm: jax.Array     # scalar
@@ -77,7 +77,7 @@ def _sqrt_tridiag_e1(alpha, beta, m_max):
 
 def sqrt_mreal(
     matvec_t: Callable[[jax.Array], jax.Array],
-    psi: jax.Array,
+    psi_t: jax.Array,
     error: float,
     m_start: jax.Array,
     m_max: int = 48,
@@ -85,31 +85,34 @@ def sqrt_mreal(
 ):
     """Compute (M_real^{1/2} ψ, m_used, hit_cap).
 
-    ``matvec_t`` applies M_real in transposed (3, N) layout; ``psi`` is
-    (N, 3).  Internally vectors are flat (3N,) so the Krylov basis carries no
-    TPU tile padding.
+    ``matvec_t`` applies M_real in the ENGINE-NATIVE transposed layout —
+    (3, N) for the gather engine, (3, C, cap) cell slots for the banded and
+    blocked engines — and ``psi_t`` is a vector in that same layout; the
+    whole Krylov iteration (basis storage included) runs in that layout, so
+    no flat↔tiled reshape copies happen around the matvec custom calls (the
+    retiling of a (3, C, cap) operand from a flat (3N,) vector cost one
+    ~0.1 ms XLA copy per iteration at bench scale).  Returns u in the same
+    native layout.
 
-    ``w0``: optional precomputed M·v₀ in (3, N) layout, v₀ = ψ/‖ψ‖ — the
+    ``w0``: optional precomputed M·v₀ (native layout), v₀ = ψ/‖ψ‖ — the
     step passes this to ride the deterministic M·F on the first Lanczos
     matvec (one 2-RHS A stream instead of two single ones); the first
     iteration then runs unrolled outside the while_loop.
     """
-    n = psi.shape[0]
-    dtype = psi.dtype
+    S = psi_t.shape
+    dtype = psi_t.dtype
     eps_breakdown = 1e-8
 
-    def matvec(v_flat):
-        return matvec_t(v_flat.reshape(3, n)).reshape(-1)
+    matvec = matvec_t
 
-    psi_flat = psi.T.reshape(-1)
-    vnorm = jnp.sqrt(_dot(psi_flat, psi_flat))
+    vnorm = jnp.sqrt(_dot(psi_t, psi_t))
     psinorm = vnorm
     # ψ·Mψ/‖ψ‖² (the step-norm normalizer, Brownian.cu:452-457) equals α₀ of
     # the Lanczos recurrence (v₀·Mv₀ with v₀ = ψ/‖ψ‖), so unlike the
     # reference we don't spend an extra matvec on it — the convergence check
     # reads alpha[0] once the first iteration has stored it.
 
-    v0 = psi_flat / vnorm
+    v0 = psi_t / vnorm
     warm = jnp.clip(jnp.asarray(m_start, jnp.int32) - 1, 1, m_max - 1)
 
     def iter_with_w(state: _LanczosState, w_raw, assemble: bool) -> _LanczosState:
@@ -175,7 +178,7 @@ def sqrt_mreal(
 
     init = _LanczosState(
         j=jnp.asarray(0, jnp.int32),
-        V=jnp.zeros((m_max, 3 * n), dtype),
+        V=jnp.zeros((m_max,) + S, dtype),
         alpha=jnp.zeros((m_max,), dtype),
         beta=jnp.zeros((m_max,), dtype),
         vj=v0,
@@ -193,7 +196,7 @@ def sqrt_mreal(
     # converges immediately — then one extra iteration runs; never fewer).
     first_w = (
         matvec(v0) if w0 is None
-        else jnp.asarray(w0, dtype).reshape(-1)
+        else jnp.asarray(w0, dtype)
     )
     state1 = iter_with_w(init, first_w, assemble=False)
     state_w = jax.lax.while_loop(warm_cond, warm_iter, state1)
@@ -204,9 +207,9 @@ def sqrt_mreal(
     # Brownian.cu:507-510 semantics), then ONE basis contraction.
     f_final = _sqrt_tridiag_e1(final.alpha, final.beta, m_max)
     vel = jnp.einsum(
-        "m,mf->f", f_final, final.V, preferred_element_type=jnp.float32
+        "m,m...->...", f_final, final.V, preferred_element_type=jnp.float32
     ).astype(dtype)
-    u = (vel * psinorm).reshape(3, n).T
+    u = vel * psinorm
     hit_cap = (
         (final.j >= m_max) & ~final.breakdown & (final.stepnorm > error)
     )

@@ -34,6 +34,16 @@ def particle_noise(key: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
     return jax.random.uniform(key, (n, 3), dtype=dtype, minval=-SQRT3, maxval=SQRT3)
 
 
+def particle_noise_t(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    """ψ in the engine-native transposed layout: (3, *shape) — same
+    distribution as ``particle_noise``; the draw→slot association differs
+    (different RNG shape), so trajectories re-randomize across this layout
+    version while every statistic is unchanged."""
+    return jax.random.uniform(
+        key, (3,) + tuple(shape), dtype=dtype, minval=-SQRT3, maxval=SQRT3
+    )
+
+
 def _project_and_scale(f, kvec, W, params, T, dt):
     """Transverse-project the random field and apply the B^{1/2} amplitude
     (shared by the full- and half-spectrum constructions)."""

@@ -222,9 +222,9 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             ctx.zshe, cells, b.px, b.py, b.pz, b.mask, ctx.tilt,
         )
 
-    def mreal_t(ctx, ft):
-        cells = ft.reshape(3, ncx * ncy, S)
-        return _matvec(ctx, cells).reshape(3, -1)
+    def mreal_t(ctx, cells):
+        # native (3, ncx*ncy, S) in/out — matches base.slots_of_psi's layout
+        return _matvec(ctx, cells)
 
     def mreal_particles(ctx, forces):
         from ..cellbins import vec_from_cells, vec_to_cells

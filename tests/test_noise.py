@@ -54,12 +54,12 @@ def test_lanczos_sqrt_matches_dense():
     rng = np.random.default_rng(1)
     for trial in range(3):
         psi = rng.normal(size=pos.shape).astype(np.float32)
-        u, m_used, hit_cap = lanczos.sqrt_mreal(
-            matvec, jnp.asarray(psi), p.error, m_start=2, m_max=60
+        u_t, m_used, hit_cap = lanczos.sqrt_mreal(
+            matvec, jnp.asarray(psi.T), p.error, m_start=2, m_max=60
         )
         assert not bool(hit_cap)
         u_ref = (sqrtM @ psi.reshape(-1)).reshape(pos.shape)
-        rel = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
+        rel = np.linalg.norm(np.asarray(u_t).T - u_ref) / np.linalg.norm(u_ref)
         assert rel < 5e-3, f"trial {trial}: rel={rel}, m={int(m_used)}"
         assert int(m_used) >= 3
 
@@ -183,10 +183,10 @@ def test_lanczos_breakdown_returns_partial_assembly():
     psi = rng.normal(size=(n, 3)).astype(np.float32)
     matvec = lambda vt: c * vt
     u, m_used, _hit = lanczos.sqrt_mreal(
-        matvec, jnp.asarray(psi), 1e-3, m_start=10, m_max=20
+        matvec, jnp.asarray(psi.T), 1e-3, m_start=10, m_max=20
     )
     np.testing.assert_allclose(
-        np.asarray(u), np.sqrt(c) * psi, rtol=1e-5, atol=1e-6
+        np.asarray(u).T, np.sqrt(c) * psi, rtol=1e-5, atol=1e-6
     )
 
 
@@ -203,16 +203,16 @@ def test_lanczos_cap_hit_sets_flag_and_growth():
     psi = rng.normal(size=(n, 3)).astype(np.float32)
     matvec = lambda vt: d * vt
     u, m_used, hit = lanczos.sqrt_mreal(
-        matvec, jnp.asarray(psi), 1e-9, m_start=2, m_max=4
+        matvec, jnp.asarray(psi.T), 1e-9, m_start=2, m_max=4
     )
     assert bool(hit) and int(m_used) == 4
     # converges fine with room
     u2, m2, hit2 = lanczos.sqrt_mreal(
-        matvec, jnp.asarray(psi), 1e-5, m_start=2, m_max=60
+        matvec, jnp.asarray(psi.T), 1e-5, m_start=2, m_max=60
     )
     assert not bool(hit2) and int(m2) < 60
     ref = np.asarray(jnp.sqrt(d).T * psi)
-    rel = np.linalg.norm(np.asarray(u2) - ref) / np.linalg.norm(ref)
+    rel = np.linalg.norm(np.asarray(u2).T - ref) / np.linalg.norm(ref)
     assert rel < 1e-4, rel
 
     import math
