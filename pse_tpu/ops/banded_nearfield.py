@@ -880,10 +880,12 @@ def _matvec_kernel(
             fw = fq[0:NR]
             fw16 = fw.astype(a_dtype)
 
-            ownp8 = ownp_ref[ci, t]                            # (R, 8)
+            # (R, 8) own tiles = STATIC lane slices of the (R, T·8)
+            # lane-group layout (t is a Python loop index)
+            ownp8 = ownp_ref[ci, :, t * 8:(t + 1) * 8]         # (R, 8)
             cc_s = ownp8[0:1, 0:3]                             # (1, 3)
             own3 = ownp8[:, 0:3] - cc_s                        # (R, 3)
-            foN = ownf_ref[ci, t][:, 0:NR]                     # (R, NR)
+            foN = ownf_ref[ci, :, t * 8:t * 8 + NR]            # (R, NR)
             ccl = fcyc_ref[0, NR:NR + 3, t * R:t * R + 1]      # (3, 1)
             q = fq[NR:NR + 3] - ccl                            # (3, 5W)
             ownl = fcyc_ref[0, NR:NR + 3, sl.start:sl.stop] - ccl
@@ -1029,18 +1031,22 @@ def _matvec_kernel(
 
 
 def make_own_pos(bins: CellBins, spec: BandSpec) -> jax.Array:
-    """(C, T, R, 8) sublane-layout own coordinates for matvec_banded,
-    computed ONCE per step (reading a column out of a lane-major array
-    in-kernel needs a 128-wide read + rotate per component, measured
-    ~0.2 ms/matvec; and rebuilding this transpose inside every matvec was
-    measurable XLA data-formatting time)."""
+    """(C, R, T·8) own coordinates for matvec_banded, computed ONCE per
+    step: lane group t·8+k holds component k of tile t's rows, so the
+    kernel's per-tile (R, 8) read is a STATIC lane slice.  (Reading a
+    column out of a lane-major array in-kernel needs a 128-wide read +
+    rotate per component, measured ~0.2 ms/matvec; and the earlier
+    (C, T, R, 8) layout's 8-wide lane minor was stored lane-padded to 128
+    — ~16× physical bytes on an operand streamed every matvec.)"""
     S = spec.bins.cap
     R = spec.rows
+    T = S // R
     pos = jnp.stack([bins.px, bins.py, bins.pz], axis=0)       # (3, C, S)
     C = pos.shape[1]
-    return jnp.concatenate(
+    arr8 = jnp.concatenate(
         [pos, jnp.zeros((5,) + pos.shape[1:], jnp.float32)], axis=0
-    ).transpose(1, 2, 0).reshape(C, S // R, R, 8)
+    )                                                          # (8, C, S)
+    return arr8.reshape(8, C, T, R).transpose(1, 3, 2, 0).reshape(C, R, T * 8)
 
 
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "L", "interpret",
@@ -1048,7 +1054,7 @@ def make_own_pos(bins: CellBins, spec: BandSpec) -> jax.Array:
 def matvec_banded(
     blocks: jax.Array,         # (1, C, 2, S, 5W) from build_banded_blocks
     pos_cyc: jax.Array,        # (C, N_HALF, 3, SEXT) from build_banded_blocks
-    own_pos: jax.Array,        # (C, T, R, 8) from make_own_pos
+    own_pos: jax.Array,        # (C, R, T*8) from make_own_pos
     j0: jax.Array,             # (O, C, T) int32
     n_valid: jax.Array,        # (C,) int32
     zsh: jax.Array,            # (O, C, T) f32 from compute_windows
@@ -1079,10 +1085,14 @@ def matvec_banded(
     NR = 3 * nrhs
     sext = _sext_of(spec)                     # cyclic-window lane extent
     f_pad = jnp.pad(f_cells, ((0, 0), (0, 0), (0, sext - S)))
+    # Same (C, R, T·8) lane-group layout as make_own_pos: the transpose
+    # writes ~9× fewer physical bytes than a (C, T, R, 8) target (whose
+    # 8-wide lane minor is stored padded to 128) and the kernel slices
+    # (R, 8) tiles statically on lanes.
     own_f = jnp.concatenate(
         [f_cells,
          jnp.zeros((8 - NR,) + f_cells.shape[1:], jnp.float32)], axis=0
-    ).transpose(1, 2, 0).reshape(C, T, R, 8)
+    ).reshape(8, C, T, R).transpose(1, 3, 2, 0).reshape(C, R, T * 8)
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
 
     if cols_per_step is None:
@@ -1115,9 +1125,9 @@ def matvec_banded(
                          memory_space=pltpu.VMEM),        # A (streamed)
             pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # prefolded coords
-            pl.BlockSpec((cps, T, R, 8), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),        # own coords
-            pl.BlockSpec((cps, T, R, 8), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),        # own forces
             pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
         ],

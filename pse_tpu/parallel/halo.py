@@ -59,7 +59,7 @@ class _HaloCtx(NamedTuple):
     zshe: jax.Array        # (O, D*(nxl+2)*ncy, T) z-image shifts, slab-ext
     blocks_e: jax.Array    # (1, D*(nxl+2)*ncy, 2, S, 5W) slab-ext coeffs
     pcyc_e: jax.Array      # (D*(nxl+2)*ncy, 5, 3, SEXT) prefolded coords
-    ownp_e: jax.Array      # (D*(nxl+2)*ncy, T, R, 8) own coords
+    ownp_e: jax.Array      # (D*(nxl+2)*ncy, R, T*8) own coords
     ff_weights: object
     tilt: jax.Array        # () f32 (the reference matvec needs it)
 
