@@ -134,9 +134,25 @@ def tpu_correctness_check(rel_tol=2e-3):
     engine ON THE REAL TPU before any timing — a kernel regression fails
     the bench, not a human reading tools/trial_banded.py output.
 
-    Small enough (N≈5k) to compile in minutes; large enough that the banded
-    geometry (columns deeper than the window) actually engages.
+    Interpret-mode tests cannot certify Mosaic kernels (the negative-roll
+    hazard, CLAUDE.md, was hardware-only), so the gate covers the
+    config classes where hardware-only corruption has been observed or is
+    plausible:
+
+      * untilted + TILTED box (tilt is traced — same compiled program);
+        uniform fill guarantees bands that wrap the z seam at the
+        boundary tiles (cyclic prefold + aliased-j0 paths);
+      * a W=192 window (the regrow path): its 384-wide window reads are
+        the non-power-of-two roll width where dynamic negative rolls
+        silently wrap on hardware (tools/diag_roll.py) — positions drawn
+        seam-heavy (z clustered at ±L/2) so wrapped bands dominate;
+      * the 2-RHS fused matvec vs two single matvecs (the step's fuse2
+        path) — same A stream, widened dots.
+
+    Each config is N≈5k: compiles in minutes cold, seconds warm via the
+    compilation cache.
     """
+    import jax
     import jax.numpy as jnp
     import pse_tpu as pse
     from pse_tpu import integrator
@@ -151,18 +167,95 @@ def tpu_correctness_check(rel_tol=2e-3):
     cfg_b = integrator.make_config(params, n, thermal=False, engine="banded")
     assert cfg_b.engine == "banded", "check config too small for banded"
     cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked")
+
+    def cross_check(name, cfg, p, f, tilt, tol=rel_tol):
+        u_b, _ = integrator.mobility(cfg, p, f, tilt)
+        u_d, _ = integrator.mobility(cfg_d, p, f, tilt)
+        err = float(jnp.max(jnp.abs(u_b - u_d)) / jnp.max(jnp.abs(u_d)))
+        print(f"# tpu correctness [{name}]: banded vs blocked rel err "
+              f"{err:.2e} (tol {tol:g})", file=sys.stderr)
+        if not err < tol:
+            raise AssertionError(
+                f"banded kernels disagree with the blocked engine on TPU "
+                f"[{name}]: rel err {err:.3e} > {tol:g}"
+            )
+
+    # (a) untilted + tilted: one compile, two tilt values
+    cross_check("untilted", cfg_b, pos, forces, 0.0)
+    cross_check("tilted", cfg_b, pos, forces, 0.3)
+
+    # (b) regrown W=192 window (384-wide rolls) on a seam-heavy fill
+    import dataclasses
+
+    bs = cfg_b.band_spec
+    assert bs.bins.cap >= 192, "W=192 gate config needs cap >= window"
+    cfg_w = dataclasses.replace(cfg_b, band_spec=bs._replace(window=192))
+    pos_seam = pos.copy()
+    half = n // 2
+    pos_seam[:half, 2] = (L / 2 - np.abs(
+        rng.normal(scale=2.0, size=half))).astype(np.float32)
+    pos_seam[half:, 2] = (-L / 2 + np.abs(
+        rng.normal(scale=2.0, size=n - half))).astype(np.float32)
+    cross_check("W=192 seam", cfg_w, pos_seam, forces, 0.0)
+
+    # (c) 2-RHS fused matvec == two single matvecs (the fuse2 path);
+    # identical math modulo dot tiling, so the tolerance is f32-noise level
+    eng = integrator._engine(cfg_b)
+
+    @jax.jit
+    def fused_vs_single(p, fa, fb):
+        box = integrator._box_of(cfg_b, 0.0)
+        ctx, ovf = eng.prepare(cfg_b, p, box)
+        ca = eng.f_slots_t(ctx, fa)
+        cb = eng.f_slots_t(ctx, fb)
+        u2 = eng.mreal_t2(ctx, jnp.concatenate([ca, cb], axis=0))
+        ua = eng.mreal_t(ctx, ca)
+        ub = eng.mreal_t(ctx, cb)
+        return u2, ua, ub, ovf
+
+    forces_b = rng.normal(size=(n, 3)).astype(np.float32)
+    u2, ua, ub, ovf = fused_vs_single(
+        jnp.asarray(pos), jnp.asarray(forces), jnp.asarray(forces_b)
+    )
+    u1 = jnp.concatenate([ua, ub], axis=0)
+    err = float(jnp.max(jnp.abs(u2 - u1)) / jnp.max(jnp.abs(u1)))
+    print(f"# tpu correctness [2-RHS fused]: fused vs singles rel err "
+          f"{err:.2e} (tol 1e-4)", file=sys.stderr)
+    if not err < 1e-4:
+        raise AssertionError(
+            f"fused 2-RHS matvec disagrees with two singles on TPU: "
+            f"rel err {err:.3e} > 1e-4"
+        )
+
+
+def sweep_residual(xi, n=5000, phi=0.45, rel_tol=2e-3):
+    """Small-N banded-vs-blocked residual at a sweep point's OWN ξ/geometry
+    (the gate runs only ξ=0.5): a config-dependent kernel bug (the
+    roll-hazard class) must fail the sweep point, not silently time a
+    wrong program.  Returns the residual for BENCH_DETAILS.json."""
+    import jax.numpy as jnp
+    import pse_tpu as pse
+    from pse_tpu import integrator
+
+    pos, L = make_positions(n, phi, seed=7)
+    rng = np.random.default_rng(11)
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=xi, error=1e-3, L=L)
+    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded")
+    if cfg_b.engine != "banded":
+        return None                     # geometry too small to band at this ξ
+    cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked")
     u_b, _ = integrator.mobility(cfg_b, pos, forces)
     u_d, _ = integrator.mobility(cfg_d, pos, forces)
-    err = float(
-        jnp.max(jnp.abs(u_b - u_d)) / jnp.max(jnp.abs(u_d))
-    )
-    print(f"# tpu correctness: banded vs blocked rel err {err:.2e} "
-          f"(tol {rel_tol:g})", file=sys.stderr)
+    err = float(jnp.max(jnp.abs(u_b - u_d)) / jnp.max(jnp.abs(u_d)))
+    print(f"# sweep residual xi={xi}: banded vs blocked rel err {err:.2e}",
+          file=sys.stderr)
     if not err < rel_tol:
         raise AssertionError(
-            f"banded kernels disagree with the blocked engine on TPU: "
+            f"banded kernels disagree with blocked at xi={xi}: "
             f"rel err {err:.3e} > {rel_tol:g}"
         )
+    return err
 
 
 def main():
@@ -176,6 +269,9 @@ def main():
     if not args.skip_check:
         tpu_correctness_check()
 
+    import jax
+
+    chip = jax.devices()[0].device_kind
     results = []
     for has_forces in (False, True):
         r = run_bench(has_forces=has_forces)
@@ -187,7 +283,9 @@ def main():
         for xi in (0.65, 0.8):
             # a sweep-point failure must not lose the headline result
             try:
+                rel = sweep_residual(xi)
                 r = run_bench(xi=xi)
+                r["rel_err"] = rel
             except Exception as e:  # noqa: BLE001 — report and continue
                 print(f"# sweep xi={xi} FAILED: {type(e).__name__}: "
                       f"{str(e)[:200]}", file=sys.stderr)
@@ -197,8 +295,17 @@ def main():
                   f"{r['particle_steps_per_sec']:.3g} particle-steps/s",
                   file=sys.stderr)
 
+    details = {
+        # BASELINE.json's 1e7 north star names a v5p; record the chip this
+        # run actually measured so cross-round comparisons stay honest
+        # (all rounds so far: one v5e — a chip with ~2.4x less HBM
+        # bandwidth and ~2.3x fewer FLOPs than a v5p core).
+        "chip": chip,
+        "north_star_chip": "v5p (BASELINE.json); bench chip above",
+        "results": results,
+    }
     with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(details, f, indent=1)
 
     headline = results[0]
     print(

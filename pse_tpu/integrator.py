@@ -335,7 +335,7 @@ class _BandedCtx(NamedTuple):
     zsh: jax.Array         # (O, C, T) f32 window z-image shifts
     blocks: object         # (1, C, 2, S, 5W) pair coefficients (None off-TPU)
     pos_cyc: object        # (C, 5, 3, SEXT) prefolded coords (None off-TPU)
-    own_pos: object        # (C, T, R, 8) own coords (None off-TPU)
+    own_pos: object        # (C, R, T*8) own coords (None off-TPU)
     ff_weights: object
     tilt: jax.Array        # () f32 box tilt (reference matvec needs it)
 

@@ -30,7 +30,11 @@ SQRT2 = math.sqrt(2.0)
 
 def particle_noise(key: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
     """ψ ~ U(-√3, √3)³ per particle: unit variance per component
-    (gpu_stokes_BrownianGenerate_kernel, Brownian.cu:99-130)."""
+    (gpu_stokes_BrownianGenerate_kernel, Brownian.cu:99-130).
+
+    The production step draws in the engine-native layout via
+    ``particle_noise_t``; this (N, 3) variant is kept for external use and
+    the determinism tooling (tools/check_determinism.py)."""
     return jax.random.uniform(key, (n, 3), dtype=dtype, minval=-SQRT3, maxval=SQRT3)
 
 

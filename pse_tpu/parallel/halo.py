@@ -161,6 +161,7 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     # the stored (imrr, bco/d²) coefficients.
     def _local_matvec(blocks_l, pcyc_l, ownp_l, j0_l, nv_l, zsh_l, f_l,
                       px, py, pz, mask, tilt):
+        NR = f_l.shape[0]                      # 3·nrhs stacked RHS rows
         f_ext = exchange_x(f_l)
         if interpret:
             bins_loc = CellBins(
@@ -168,17 +169,21 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
                 pz=exchange_x(pz), mask=exchange_x(mask),
                 pid=None, cell_of=None, rank_of=None, overflow=None,
             )
-            u = bdn.matvec_banded_reference(
-                bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
-                p.ewald_dr, j0_l, nv_l, f_ext, p.self_mobility,
-            )
+            # the pure-XLA reference is single-RHS; run each 3-row block
+            u = jnp.concatenate([
+                bdn.matvec_banded_reference(
+                    bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
+                    p.ewald_dr, j0_l, nv_l, f_ext[r:r + 3], p.self_mobility,
+                )
+                for r in range(0, NR, 3)
+            ], axis=0)
         else:
             u = bdn.matvec_banded(
                 blocks_l, pcyc_l, ownp_l, j0_l, nv_l, zsh_l, spec_loc,
                 f_ext, p.self_mobility, p.L,
             )
-        u = u.reshape(3, nxl + 2, ncy, S)[:, 1:-1]
-        return u.reshape(3, nxl * ncy, S)
+        u = u.reshape(NR, nxl + 2, ncy, S)[:, 1:-1]
+        return u.reshape(NR, nxl * ncy, S)
 
     local_matvec = _shard_map(
         _local_matvec, mesh,
@@ -226,6 +231,17 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         # native (3, ncx*ncy, S) in/out — matches base.slots_of_psi's layout
         return _matvec(ctx, cells)
 
+    def mreal_t2(ctx, cells):
+        """(6, ncx*ncy, S) two-RHS matvec sharing one per-shard A stream —
+        enables step_impl's fuse2 path (the deterministic M·F riding the
+        first Lanczos matvec) under shard_map, same as single-chip."""
+        return _matvec(ctx, cells)
+
+    def f_slots_t(ctx, values):
+        from ..cellbins import vec_to_cells
+
+        return vec_to_cells(ctx.nf_bins, bs.bins, values)
+
     def mreal_particles(ctx, forces):
         from ..cellbins import vec_from_cells, vec_to_cells
 
@@ -239,6 +255,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     e = E()
     e.prepare = prepare
     e.mreal_t = mreal_t
+    e.mreal_t2 = mreal_t2
+    e.f_slots_t = f_slots_t
     e.mreal_particles = mreal_particles
     e.spread = base.spread
     e.contract = base.contract

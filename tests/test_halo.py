@@ -76,6 +76,26 @@ def test_halo_step_matches_single_device_thermal():
     assert np.linalg.norm(d8 - d1) / np.linalg.norm(d1) < 5e-3
 
 
+def test_halo_mreal_t2_matches_two_singles():
+    """The halo engine's fused 2-RHS matvec (one A stream under shard_map)
+    must equal two single matvecs — the plumbing the step's fuse2 path
+    rides (exchange_x with 6 rows, NR-generic interior slicing)."""
+    n, L = 4_800, 33.0
+    cfg, pos, forces = _setup(n, L, seed=3, thermal=True)
+    mesh = _mesh()
+    eng = halo.make_halo_engine(cfg, mesh)
+    box = integrator._box_of(cfg, 0.0)
+    ctx, ovf = eng.prepare(cfg, jnp.asarray(pos), box)
+    assert not bool(jnp.any(ovf))
+    fa = eng.f_slots_t(ctx, jnp.asarray(forces))
+    fb = eng.f_slots_t(ctx, jnp.asarray(forces[::-1].copy()))
+    u2 = eng.mreal_t2(ctx, jnp.concatenate([fa, fb], axis=0))
+    ua = eng.mreal_t(ctx, fa)
+    ub = eng.mreal_t(ctx, fb)
+    assert _rel(u2[0:3], ua) < 1e-6
+    assert _rel(u2[3:6], ub) < 1e-6
+
+
 def test_halo_requires_banded():
     params = pse.make_params(xi=0.5, error=1e-3, L=24.0)
     cfg = integrator.make_config(params, 128, engine="gather")

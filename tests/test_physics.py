@@ -259,3 +259,57 @@ def test_dense_suspension_phi045():
     # window pins "hindered but not wildly" and catches sign/scale slips.
     ds = float(np.mean(diag))
     assert 0.75 < ds < 0.97, f"D_s/D0={ds:.3f} out of the RPY dense range"
+
+
+def test_dense_error_knob_scales_accuracy():
+    """End-to-end accuracy must TIGHTEN when the user requests error=1e-4:
+    the stricter parametrization (larger rcut/grid, Stokes.cc:135-236
+    derivation chain) plus the machinery it flips (f32 pair blocks,
+    full-precision far-field dots — integrator.make_config / FfSpec
+    .full_precision) has to beat the documented ~1.5e-2 dense deviation of
+    the error=1e-3 config (test_dense_suspension_phi045) by several× at
+    the same φ=0.45 geometry.  Pins that the `error` knob actually buys
+    accuracy through the PRODUCTION banded path, not just in unit tests.
+
+    Measured ladder on this geometry (max-abs vs the f64 oracle, 2026-08):
+    error=1e-3 → ~1.5e-2, error=1e-4 → 3.4e-3, error=1e-5 → 4.3e-4 — no
+    floor; the 1e-4 point is asserted (the 1e-5 config costs another ~5 min
+    of CPU for no additional coverage class).
+    """
+    import math
+
+    import oracles
+    from pse_tpu import integrator
+
+    n = 2000
+    phi = 0.45
+    L = (n * (4.0 / 3.0) * math.pi / phi) ** (1.0 / 3.0)
+    rng = np.random.default_rng(12)
+    n_side = int(math.ceil(n ** (1.0 / 3.0)))
+    a = L / n_side
+    g = (np.arange(n_side) + 0.5) * a - L / 2.0
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    pos = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)
+    keep = np.sort(rng.choice(pos.shape[0], size=n, replace=False))
+    pos = (pos[keep] + rng.normal(scale=0.05 * a, size=(n, 3))).astype(
+        np.float32
+    )
+    f_sed = np.zeros((n, 3), np.float32)
+    f_sed[:, 2] = 1.0
+
+    params = pse.make_params(xi=0.5, error=1e-4, L=L)
+    cfg = integrator.make_config(
+        params, n, thermal=False, engine="banded", max_tilt=0.0
+    )
+    assert cfg.engine == "banded", "must exercise the production engine"
+    # error < 1e-3 must auto-select f32 blocks (bf16 floors at ~5e-4)
+    assert cfg.band_spec.block_dtype == "float32"
+    u, overflow = integrator.mobility(cfg, pos, f_sed)
+    assert not bool(overflow)
+    u_ref = oracles.direct_ewald_velocity(pos, f_sed, params.L, params.xi)
+    scale = np.max(np.abs(u_ref))
+    dev = float(np.max(np.abs(np.asarray(u) - u_ref))) / scale
+    assert dev < 5e-3, (
+        f"error=1e-4 config deviates {dev:.2e} from the f64 oracle — no "
+        f"better than the error=1e-3 config's ~1.5e-2"
+    )
