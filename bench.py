@@ -144,8 +144,10 @@ def tpu_correctness_check(rel_tol=2e-3):
         boundary tiles (cyclic prefold + aliased-j0 paths);
       * a W=192 window (the regrow path): its 384-wide window reads are
         the non-power-of-two roll width where dynamic negative rolls
-        silently wrap on hardware (tools/diag_roll.py) — positions drawn
-        seam-heavy (z clustered at ±L/2) so wrapped bands dominate;
+        silently wrap on hardware (tools/diag_roll.py).  Uniform fill —
+        a z-clustered "seam-heavy" fill overflows the BLOCKED reference's
+        cell capacity (dropped pairs, 16% bogus disagreement, measured),
+        and the boundary tiles of a uniform fill already wrap;
       * the 2-RHS fused matvec vs two single matvecs (the step's fuse2
         path) — same A stream, widened dots.
 
@@ -169,8 +171,13 @@ def tpu_correctness_check(rel_tol=2e-3):
     cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked")
 
     def cross_check(name, cfg, p, f, tilt, tol=rel_tol):
-        u_b, _ = integrator.mobility(cfg, p, f, tilt)
-        u_d, _ = integrator.mobility(cfg_d, p, f, tilt)
+        u_b, ov_b = integrator.mobility(cfg, p, f, tilt)
+        u_d, ov_d = integrator.mobility(cfg_d, p, f, tilt)
+        # an overflowed program dropped pairs — comparing it is meaningless
+        assert not int(ov_b) and not int(ov_d), (
+            f"gate config [{name}] overflowed (banded={int(ov_b):#x}, "
+            f"blocked={int(ov_d):#x}) — fix the gate geometry"
+        )
         err = float(jnp.max(jnp.abs(u_b - u_d)) / jnp.max(jnp.abs(u_d)))
         print(f"# tpu correctness [{name}]: banded vs blocked rel err "
               f"{err:.2e} (tol {tol:g})", file=sys.stderr)
@@ -184,21 +191,17 @@ def tpu_correctness_check(rel_tol=2e-3):
     cross_check("untilted", cfg_b, pos, forces, 0.0)
     cross_check("tilted", cfg_b, pos, forces, 0.3)
 
-    # (b) regrown W=192 window (384-wide rolls) on a seam-heavy fill
+    # (b) regrown W=192 window (384-wide rolls)
     import dataclasses
 
     bs = cfg_b.band_spec
     assert bs.bins.cap >= 192, "W=192 gate config needs cap >= window"
     cfg_w = dataclasses.replace(cfg_b, band_spec=bs._replace(window=192))
-    pos_seam = pos.copy()
-    half = n // 2
-    pos_seam[:half, 2] = (L / 2 - np.abs(
-        rng.normal(scale=2.0, size=half))).astype(np.float32)
-    pos_seam[half:, 2] = (-L / 2 + np.abs(
-        rng.normal(scale=2.0, size=n - half))).astype(np.float32)
-    cross_check("W=192 seam", cfg_w, pos_seam, forces, 0.0)
+    cross_check("W=192", cfg_w, pos, forces, 0.0)
 
-    # (c) 2-RHS fused matvec == two single matvecs (the fuse2 path);
+    # (c) fused build+matvec with 2 RHS == two single streamed matvecs
+    # (the fuse2 path): covers the in-register A application of
+    # build_mv_banded against the stored-A read path on hardware;
     # identical math modulo dot tiling, so the tolerance is f32-noise level
     eng = integrator._engine(cfg_b)
 
@@ -208,7 +211,7 @@ def tpu_correctness_check(rel_tol=2e-3):
         ctx, ovf = eng.prepare(cfg_b, p, box)
         ca = eng.f_slots_t(ctx, fa)
         cb = eng.f_slots_t(ctx, fb)
-        u2 = eng.mreal_t2(ctx, jnp.concatenate([ca, cb], axis=0))
+        ctx, u2 = eng.build_mv(ctx, jnp.concatenate([ca, cb], axis=0))
         ua = eng.mreal_t(ctx, ca)
         ub = eng.mreal_t(ctx, cb)
         return u2, ua, ub, ovf

@@ -447,12 +447,11 @@ def _prepare_banded(config, pos, box):
     j0, n_valid, band_overflow, zsh = bdn.compute_windows(
         nf_bins, bs, box, p.ewald_cut, offsets=offs
     )
+    # blocks/pos_cyc stay None until the engine's build_mv: the build is
+    # FUSED with the step's first near-field matvec (bdn.build_mv_banded)
+    # so that matvec never re-reads the A stream from HBM.
     blocks = pos_cyc = own_pos = None
     if not _pallas_interpret():
-        blocks, pos_cyc = bdn.build_banded_blocks(
-            nf_bins, box.tilt_xy, bs, config.cheb, p.L, p.ewald_cut,
-            p.ewald_dr, j0, n_valid, zsh,
-        )
         own_pos = bdn.make_own_pos(nf_bins, bs)
     ff_weights = _ff_shared(config, ff_bins, box)
     overflow = (
@@ -499,6 +498,9 @@ def _engine(config: StepConfig):
 
         def psi_result_to_particles(ctx, u):
             return u.T
+
+        def f_slots_t(ctx, values):
+            return values.T                                 # (3, N)
     elif config.engine == "banded":
         bs = config.band_spec
 
@@ -535,6 +537,23 @@ def _engine(config: StepConfig):
         def f_slots_t(ctx, values):
             """(N, 3) particle values -> (3, C, cap) slot layout."""
             return vec_to_cells(ctx.nf_bins, bs.bins, values)
+
+        def build_mv(ctx, ft):
+            """Fused pair-coefficient build + matvec: fills ctx.blocks /
+            ctx.pos_cyc and returns (ctx, M·ft) with the first matvec's
+            A re-read eliminated (bdn.build_mv_banded).  Off-TPU the
+            reference path rebuilds pair functions per matvec anyway, so
+            plain matvecs serve."""
+            if _pallas_interpret():
+                u = (_nf_matvec(ctx, ft) if ft.shape[0] == 3
+                     else mreal_t2(ctx, ft))
+                return ctx, u
+            blocks, pos_cyc, u = bdn.build_mv_banded(
+                ctx.nf_bins, ctx.tilt, bs, config.cheb, p.L, p.ewald_cut,
+                p.ewald_dr, ctx.j0, ctx.n_valid, ctx.zsh, ctx.own_pos,
+                ft, p.self_mobility,
+            )
+            return ctx._replace(blocks=blocks, pos_cyc=pos_cyc), u
 
         def mreal_particles(ctx, forces):
             cells = vec_to_cells(ctx.nf_bins, bs.bins, forces)
@@ -586,6 +605,9 @@ def _engine(config: StepConfig):
         def psi_result_to_particles(ctx, u):
             return _nf_cells_back(config, ctx, u)          # u: (3, C, cap)
 
+        def f_slots_t(ctx, values):
+            return _nf_cells_of(config, ctx, values)       # (3, C, cap)
+
     class E:
         pass
 
@@ -601,9 +623,14 @@ def _engine(config: StepConfig):
     e.contract = contract
     e.slots_of_psi = slots_of_psi
     e.psi_result_to_particles = psi_result_to_particles
+    e.f_slots_t = f_slots_t
     if config.engine == "banded":
         e.mreal_t2 = mreal_t2
-        e.f_slots_t = f_slots_t
+        e.build_mv = build_mv
+    else:
+        # no fused build+matvec: prepare already built everything, so the
+        # step's first matvec is a plain mreal_t (identical semantics)
+        e.build_mv = lambda ctx, ft: (ctx, mreal_t(ctx, ft))
     return e
 
 
@@ -631,7 +658,8 @@ def mobility_impl(config: StepConfig, eng, pos, forces, tilt_xy=0.0):
     box = _box_of(config, tilt_xy)
 
     ctx, overflow = eng.prepare(config, pos, box)
-    u_real = eng.mreal_particles(ctx, forces)
+    ctx, u0 = eng.build_mv(ctx, eng.f_slots_t(ctx, forces))
+    u_real = eng.psi_result_to_particles(ctx, u0)
 
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
     grid = eng.spread(ctx, box, forces)
@@ -665,8 +693,11 @@ def brownian_displacement(config: StepConfig, pos, tilt_xy, step, m_start, T, dt
     u_wave = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     psi = eng.slots_of_psi(ctx, k_psi, pos.shape[0])
+    vnorm = jnp.sqrt(jnp.sum(psi * psi))       # matches sqrt_mreal's v₀
+    ctx, w0 = eng.build_mv(ctx, psi / vnorm)
     u_sqrt, m_used, hit_cap = lanczos.sqrt_mreal(
-        lambda vt: eng.mreal_t(ctx, vt), psi, p.error, m_start, config.m_max
+        lambda vt: eng.mreal_t(ctx, vt), psi, p.error, m_start,
+        config.m_max, w0=w0,
     )
     u_real = jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
     return u_wave + u_real, m_used, overflow | _ovf(hit_cap, OVF_LANCZOS)
@@ -749,33 +780,39 @@ def step_impl(
         u = eng.contract(ctx, box, grid_v.astype(jnp.float32))
 
     # --- real space: deterministic matvec (+ Lanczos noise) ----------------
+    # The step's FIRST near-field matvec rides the engine's build_mv: on
+    # the banded engine that is the fused build+matvec kernel, so the
+    # pair-coefficient build writes A and applies it in one pass — that
+    # matvec never re-reads the A stream (the step's dominant HBM
+    # traffic).  With forces AND thermal the deterministic M·F rides the
+    # same call as a second RHS: ONE A pass covers build + M·F + the
+    # first Lanczos matvec.  v₀ normalization matches lanczos.sqrt_mreal
+    # exactly (same expression, same trace).
     fuse2 = (
         config.has_forces
         and config.thermal
         and getattr(eng, "mreal_t2", None) is not None
     )
-    if config.has_forces and not fuse2:
-        with jax.named_scope("pse_nearfield"):
-            u = u + eng.mreal_particles(ctx, forces)
-
     m_used = state.m_lanczos
     if config.thermal:
         psi = eng.slots_of_psi(ctx, k_psi, n)
-        w0 = None
-        if fuse2:
-            # The deterministic M·F rides the first Lanczos matvec as a
-            # second right-hand side: ONE streamed read of the banded A
-            # per thermal forces step instead of two (the A stream is the
-            # near-field's dominant cost).  v₀ normalization matches
-            # lanczos.sqrt_mreal exactly (same expression, same trace).
-            with jax.named_scope("pse_nearfield"):
-                vnorm = jnp.sqrt(jnp.sum(psi * psi))       # psi: (3, C, cap)
-                ft2 = jnp.concatenate(
+        with jax.named_scope("pse_nearfield"):
+            vnorm = jnp.sqrt(jnp.sum(psi * psi))           # psi: (3, C, cap)
+            if fuse2:
+                ft = jnp.concatenate(
                     [eng.f_slots_t(ctx, forces), psi / vnorm], axis=0
                 )
-                u2 = eng.mreal_t2(ctx, ft2)                # (6, C, cap)
-                u = u + eng.psi_result_to_particles(ctx, u2[0:3])
-                w0 = u2[3:6]
+            else:
+                ft = psi / vnorm
+            ctx, u0 = eng.build_mv(ctx, ft)
+            if fuse2:
+                u = u + eng.psi_result_to_particles(ctx, u0[0:3])
+                w0 = u0[3:6]
+            else:
+                w0 = u0
+                if config.has_forces:
+                    # engines without a multi-RHS matvec (gather/blocked)
+                    u = u + eng.mreal_particles(ctx, forces)
         with jax.named_scope("pse_lanczos"):
             u_sqrt, m_used, hit_cap = lanczos.sqrt_mreal(
                 lambda vt: eng.mreal_t(ctx, vt),
@@ -790,6 +827,10 @@ def step_impl(
         # rewinds and regrows (grow_config doubles m_max).
         overflow = overflow | _ovf(hit_cap, OVF_LANCZOS)
         u = u + jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
+    elif config.has_forces:
+        with jax.named_scope("pse_nearfield"):
+            ctx, uF = eng.build_mv(ctx, eng.f_slots_t(ctx, forces))
+            u = u + eng.psi_result_to_particles(ctx, uF)
 
     # --- Euler update with shear advection + PBC wrap ----------------------
     vel = u.at[:, 0].add(jnp.asarray(shear_rate, jnp.float32) * pos[:, 1])

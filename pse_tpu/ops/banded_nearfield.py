@@ -720,8 +720,218 @@ def build_banded_blocks(
     )(offsets_arr, n_valid, tilt, jz_flat, posm_pad, own_io)
 
 
+def _tile_apply(
+    t, c, ci, F1, Bq, fw, q, own3, ownl, folN,
+    jz_ref, u_ref, acct_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref,
+    *, spec: BandSpec, nrhs: int, parts: str, a_dtype,
+):
+    """Forward + transposed application of one tile's (F1, Bq) pair
+    coefficients against its window forces — the shared core of
+    _matvec_kernel and the fused build+matvec kernel (_build_mv_kernel).
+
+    Arguments are per-tile values: F1/Bq (R, 5W) in storage dtype, fw
+    (NR, 5W) window forces, q (3, 5W) recentred window coords (z image
+    shift folded), own3 (R, 3) / ownl (3, R) recentred own coords, folN
+    (NR, R) own forces (may carry cyclic-wrap junk at pad rows — the zero
+    A entries drop it).  See _matvec_kernel's docstring for the algebra.
+    """
+    R = spec.rows
+    W = spec.window
+    T = spec.bins.cap // R
+    NT = N_HALF - 1
+    W4 = NT * W
+    W5 = N_HALF * W
+    RW = _read_width(spec)
+    NR = 3 * nrhs
+    is_f32 = a_dtype == jnp.float32
+    precision = jax.lax.Precision.HIGHEST if is_f32 else None
+    sl = slice(t * R, (t + 1) * R)
+    ones_w = jnp.ones((1, W5), a_dtype)
+    ones_r = jnp.ones((1, R), a_dtype)
+    fw16 = fw.astype(a_dtype)
+
+    def split16(x):
+        """f32 -> (bf16 hi, bf16 lo); the f32 path keeps the exact value."""
+        if is_f32:
+            return (x,)
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def fused_rows(ref, base, coords, ones_row):
+        """lhs rows [base; hi(coords); 1; (lo(coords); 1)] for a fused dot,
+        assembled through an f32 scratch — Mosaic rejects sublane concats
+        whose pieces land at non-8-multiple offsets, and bf16 VMEM packs
+        two logical rows per physical sublane, so partial-row bf16 stores
+        at odd offsets corrupt their pair row on real hardware (interpret
+        mode passed, the on-TPU gate caught 12%).  bf16 values round-trip
+        exactly through f32, so the hi/lo split survives the cast at read.
+
+        The SECOND ones row (bf16 path only) lets the transposed side's
+        [q_hi; 1; q_lo; 1] rhs carry a hi/lo-split −oof term in the same
+        contraction (see the moq dot below).
+        """
+        ps = split16(coords)
+        ref[0:NR] = base.astype(jnp.float32)
+        ref[NR:NR + 3] = ps[0].astype(jnp.float32)
+        ref[NR + 3:NR + 4] = ones_row.astype(jnp.float32)
+        if len(ps) > 1:
+            ref[NR + 4:NR + 7] = ps[1].astype(jnp.float32)
+            ref[NR + 7:NR + 8] = ones_row.astype(jnp.float32)
+            return ref[0:NR + 8].astype(a_dtype)
+        return ref[0:NR + 4].astype(a_dtype)
+
+    # of_r = own·f_r window via ONE MXU dot across all RHS (per-tile
+    # dot-launch overhead is the measured cost): hi/lo coordinate parts
+    # side by side on K against a doubled [fw_r; fw_r] rhs per lane
+    # segment, assembled through scratch (misaligned concats are rejected).
+    ps = split16(own3)
+    if is_f32:
+        ofs = [
+            jax.lax.dot_general(
+                ps[0], fw16[3 * r:3 * r + 3],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            for r in range(nrhs)
+        ]                                              # (R, 5W) each
+    else:
+        own6_ref[0:R, 0:3] = ps[0].astype(jnp.float32)
+        own6_ref[0:R, 3:6] = ps[1].astype(jnp.float32)
+        for r in range(nrhs):
+            seg = slice(r * W5, (r + 1) * W5)
+            ofr_ref[0:3, seg] = fw[3 * r:3 * r + 3]
+            ofr_ref[3:6, seg] = fw[3 * r:3 * r + 3]
+        of_all = jax.lax.dot_general(
+            own6_ref[0:R, 0:6].astype(a_dtype),
+            ofr_ref[0:6].astype(a_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (R, nrhs·5W)
+        ofs = [
+            of_all[:, r * W5:(r + 1) * W5] for r in range(nrhs)
+        ]
+    # G stays in storage dtype: (of - qf) is the contracted d·f —
+    # rounding it 0.4% RELATIVE is benign (unlike rounding raw
+    # coordinates), and it saves three full-width f32 passes.
+    Gs = []
+    for r in range(nrhs):
+        qf = jnp.sum(
+            q * fw[3 * r:3 * r + 3], axis=0, keepdims=True
+        )                                              # (1, 5W)
+        Gs.append(Bq * (ofs[r] - qf).astype(a_dtype))
+
+    if parts in ("both", "fwd"):
+        lhs = fused_rows(lhsf_ref, fw16, q, ones_w)
+        rhs = jnp.concatenate([F1] + Gs, axis=0)       # ((1+nr)R, 5W)
+        res = jax.lax.dot_general(
+            lhs, rhs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                              # (nl, (1+nr)R)
+        for r in range(nrhs):
+            seg = slice((1 + r) * R, (2 + r) * R)
+            qg = res[NR:NR + 3, seg]
+            if not is_f32:
+                qg = qg + res[NR + 4:NR + 7, seg]
+            gsum = res[NR + 3:NR + 4, seg]             # (1, R)
+            u_ref[ci, 0, 3 * r:3 * r + 3, sl] = (
+                res[3 * r:3 * r + 3, 0:R] + ownl * gsum - qg
+            )
+
+    if parts in ("both", "t"):
+        # transposed: uT_k(w) = Σ_r F1·f_own_k(r) + H·d_k for the
+        # 4 non-self offsets at once (lanes [W, 5W)), with
+        # H = (bco/d²)·(d·f_own).
+        F14 = F1[:, W:]
+        q4 = q[:, W:]                                  # (3, 4W)
+        # (qfo − oof)(r,w) = Σ_k fo_k(r)·q_k(w) − Σ_k fo_k·own_k:
+        # ONE transposed-lhs dot for all RHS (stacked on lanes)
+        # against the [q_hi; 1; q_lo; 1] rows the forward lhs
+        # already split — the per-row −oof rides the contraction
+        # as an extra component against the ones rows (hi/lo
+        # split: a bf16-rounded oof would alias ~0.4%·|own| onto
+        # the difference).  No row-major force tile is ever
+        # formed: transposing fol in-kernel measured ~1 ms/matvec
+        # (per-tile (R,R) identity dots AND one (S,S) per column
+        # both), and the old host-side own_f operand cost one
+        # ~0.1 ms XLA re-layout copy per matvec (ROADMAP 6).
+        nk = 4 if is_f32 else 8                     # [q;1(;q_lo;1)]
+        for r in range(nrhs):
+            lsl = slice(r * R, (r + 1) * R)
+            fol3 = folN[3 * r:3 * r + 3]               # (3, R)
+            oofT = jnp.sum(ownl * fol3, axis=0, keepdims=True)
+            ns = split16(-oofT)
+            ofr_ref[0:3, lsl] = fol3
+            ofr_ref[3:4, lsl] = ns[0].astype(jnp.float32)
+            if not is_f32:
+                ofr_ref[4:7, lsl] = fol3
+                ofr_ref[7:8, lsl] = ns[1].astype(jnp.float32)
+        moq = jax.lax.dot_general(
+            ofr_ref[0:nk, 0:nrhs * R].astype(a_dtype),
+            lhsf_ref[NR:NR + nk, W:].astype(a_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                              # (nr·R, 4W)
+        Hs = [
+            Bq[:, W:] * (-moq[r * R:(r + 1) * R]).astype(a_dtype)
+            for r in range(nrhs)
+        ]
+        lhs2 = fused_rows(lhst_ref, folN.astype(a_dtype), ownl,
+                          ones_r)
+        rhs2 = jnp.concatenate([F14] + Hs, axis=1)     # (R,(1+nr)4W)
+        res2 = jax.lax.dot_general(
+            lhs2, rhs2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                              # (nl,(1+nr)4W)
+        uts = []
+        for r in range(nrhs):
+            seg = slice((1 + r) * W4, (2 + r) * W4)
+            oh = res2[NR:NR + 3, seg]
+            if not is_f32:
+                oh = oh + res2[NR + 4:NR + 7, seg]
+            hsum = res2[NR + 3:NR + 4, seg]
+            uts.append(
+                res2[3 * r:3 * r + 3, 0:W4] + oh - q4 * hsum
+            )
+        ut = (uts[0] if nrhs == 1
+              else jnp.concatenate(uts, axis=0))       # (NR, 4W)
+        for h in range(NT):
+            j0 = _unpack_j0(jz_ref[1 + h, c * T + t])
+            a = pl.multiple_of(j0 // 128 * 128, 128)
+            w = jnp.pad(
+                ut[:, h * W:(h + 1) * W], ((0, 0), (0, RW - W))
+            )
+            acct_ref[h, :, pl.ds(a, RW)] += pltpu.roll(
+                w, j0 - a, 1
+            )
+
+
+def _fold_acct(ci, nvs, acct_ref, u_ref, *, spec: BandSpec):
+    """Transposed fold: cyclic ranks -> slots (shared by both kernels).
+    Ranks < nv are slots; ranks in [nv, nv+W) wrap to slots [0, W).
+    Positions >= nv of the head hold wrap-rank data (re-added by the tail
+    fold), so they are masked out."""
+    S = spec.bins.cap
+    W = spec.window
+    RW = _read_width(spec)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    for h in range(N_HALF - 1):
+        nv = nvs[1 + h]
+        a2 = pl.multiple_of(nv // 128 * 128, 128)
+        head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
+        tail_w = pltpu.roll(          # + RW: keep the dynamic shift
+            acct_ref[h, :, pl.ds(a2, RW)], a2 - nv + RW, 1   # positive
+        )[:, :W]
+        u_ref[ci, 1 + h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
+
+
 def _matvec_kernel(
-    offs_ref, nv_ref, jz_ref, a_ref, pcyc_ref, ownp_ref, ownf_ref,
+    offs_ref, nv_ref, jz_ref, a_ref, pcyc_ref, ownp_ref,
     f_ref,
     u_ref,
     acct_ref, fcyc_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref, *,
@@ -788,40 +998,8 @@ def _matvec_kernel(
 
     g = pl.program_id(0)
     a_dtype = a_ref.dtype
-    is_f32 = a_dtype == jnp.float32
-    precision = jax.lax.Precision.HIGHEST if is_f32 else None
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
-    ones_w = jnp.ones((1, N_HALF * W), a_dtype)
-    ones_r = jnp.ones((1, R), a_dtype)
-
-    def split16(x):
-        """f32 -> (bf16 hi, bf16 lo); the f32 path keeps the exact value."""
-        if is_f32:
-            return (x,)
-        hi = x.astype(jnp.bfloat16)
-        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     NR = 3 * nrhs
-    W5 = N_HALF * W
-
-    def fused_rows(ref, base, coords, ones_row):
-        """lhs rows [base; hi(coords); 1; (lo(coords))] for a fused dot,
-        assembled through an f32 scratch — Mosaic rejects sublane concats
-        whose pieces land at non-8-multiple offsets, and bf16 VMEM packs
-        two logical rows per physical sublane, so partial-row bf16 stores
-        at odd offsets corrupt their pair row on real hardware (interpret
-        mode passed, the on-TPU gate caught 12%).  bf16 values round-trip
-        exactly through f32, so the hi/lo split survives the cast at read.
-        """
-        ps = split16(coords)
-        ref[0:NR] = base.astype(jnp.float32)
-        ref[NR:NR + 3] = ps[0].astype(jnp.float32)
-        ref[NR + 3:NR + 4] = ones_row.astype(jnp.float32)
-        if len(ps) > 1:
-            ref[NR + 4:NR + 7] = ps[1].astype(jnp.float32)
-            return ref[0:NR + 7].astype(a_dtype)
-        return ref[0:NR + 4].astype(a_dtype)
 
     for ci in range(cps):
         c = g * cps + ci
@@ -878,162 +1056,31 @@ def _matvec_kernel(
                 )
             fq = jnp.concatenate(wins, axis=1)                 # (NR+3, 5W)
             fw = fq[0:NR]
-            fw16 = fw.astype(a_dtype)
 
             # (R, 8) own tiles = STATIC lane slices of the (R, T·8)
             # lane-group layout (t is a Python loop index)
             ownp8 = ownp_ref[ci, :, t * 8:(t + 1) * 8]         # (R, 8)
             cc_s = ownp8[0:1, 0:3]                             # (1, 3)
             own3 = ownp8[:, 0:3] - cc_s                        # (R, 3)
-            foN = ownf_ref[ci, :, t * 8:t * 8 + NR]            # (R, NR)
             ccl = fcyc_ref[0, NR:NR + 3, t * R:t * R + 1]      # (3, 1)
             q = fq[NR:NR + 3] - ccl                            # (3, 5W)
             ownl = fcyc_ref[0, NR:NR + 3, sl.start:sl.stop] - ccl
             folN = fcyc_ref[0, 0:NR, sl.start:sl.stop]         # (NR, R)
 
-            # of_r = own·f_r window via ONE MXU dot across all RHS
-            # (per-tile dot-launch overhead is the measured cost): hi/lo
-            # coordinate parts side by side on K against a doubled
-            # [fw_r; fw_r] rhs per lane segment, assembled through scratch
-            # (misaligned concats are rejected).
-            ps = split16(own3)
-            if is_f32:
-                ofs = [
-                    jax.lax.dot_general(
-                        ps[0], fw16[3 * r:3 * r + 3],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision,
-                    )
-                    for r in range(nrhs)
-                ]                                              # (R, 5W) each
-            else:
-                own6_ref[0:R, 0:3] = ps[0].astype(jnp.float32)
-                own6_ref[0:R, 3:6] = ps[1].astype(jnp.float32)
-                for r in range(nrhs):
-                    seg = slice(r * W5, (r + 1) * W5)
-                    ofr_ref[0:3, seg] = fw[3 * r:3 * r + 3]
-                    ofr_ref[3:6, seg] = fw[3 * r:3 * r + 3]
-                of_all = jax.lax.dot_general(
-                    own6_ref[0:R, 0:6].astype(a_dtype),
-                    ofr_ref[0:6].astype(a_dtype),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                              # (R, nrhs·5W)
-                ofs = [
-                    of_all[:, r * W5:(r + 1) * W5] for r in range(nrhs)
-                ]
-            # G stays in storage dtype: (of - qf) is the contracted d·f —
-            # rounding it 0.4% RELATIVE is benign (unlike rounding raw
-            # coordinates), and it saves three full-width f32 passes.
-            Gs = []
-            for r in range(nrhs):
-                qf = jnp.sum(
-                    q * fw[3 * r:3 * r + 3], axis=0, keepdims=True
-                )                                              # (1, 5W)
-                Gs.append(Bq * (ofs[r] - qf).astype(a_dtype))
+            _tile_apply(
+                t, c, ci, F1, Bq, fw, q, own3, ownl, folN,
+                jz_ref, u_ref, acct_ref, lhsf_ref, lhst_ref, own6_ref,
+                ofr_ref, spec=spec, nrhs=nrhs, parts=parts, a_dtype=a_dtype,
+            )
 
-            if parts in ("both", "fwd"):
-                lhs = fused_rows(lhsf_ref, fw16, q, ones_w)
-                rhs = jnp.concatenate([F1] + Gs, axis=0)       # ((1+nr)R, 5W)
-                res = jax.lax.dot_general(
-                    lhs, rhs,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )                                              # (nl, (1+nr)R)
-                for r in range(nrhs):
-                    seg = slice((1 + r) * R, (2 + r) * R)
-                    qg = res[NR:NR + 3, seg]
-                    if not is_f32:
-                        qg = qg + res[NR + 4:NR + 7, seg]
-                    gsum = res[NR + 3:NR + 4, seg]             # (1, R)
-                    u_ref[ci, 0, 3 * r:3 * r + 3, sl] = (
-                        res[3 * r:3 * r + 3, 0:R] + ownl * gsum - qg
-                    )
-
-            if parts in ("both", "t"):
-                # transposed: uT_k(w) = Σ_r F1·f_own_k(r) + H·d_k for the
-                # 4 non-self offsets at once (lanes [W, 5W)), with
-                # H = (bco/d²)·(d·f_own).
-                F14 = F1[:, W:]
-                q4 = q[:, W:]                                  # (3, 4W)
-                # qfo_r(r,w) = Σ_k fo_k(r)·q_k(w): ONE dot for all RHS
-                # (stacked on sublanes) against the [q_hi; 1; q_lo] rows
-                # the forward lhs already split (the ones row is nulled by
-                # a zero lhs column).
-                nk = 4 if is_f32 else 7                        # [q;1(;q_lo)]
-                for r in range(nrhs):
-                    rsl = slice(r * R, (r + 1) * R)
-                    fo3 = foN[:, 3 * r:3 * r + 3]
-                    own6_ref[rsl, 0:3] = fo3
-                    own6_ref[rsl, 3:4] = jnp.zeros_like(fo3[:, 0:1])
-                    if not is_f32:
-                        own6_ref[rsl, 4:7] = fo3
-                qfo_all = jax.lax.dot_general(
-                    own6_ref[0:nrhs * R, 0:nk].astype(a_dtype),
-                    lhsf_ref[NR:NR + nk, W:].astype(a_dtype),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )                                              # (nr·R, 4W)
-                Hs = []
-                for r in range(nrhs):
-                    oof = jnp.sum(
-                        own3 * foN[:, 3 * r:3 * r + 3], axis=1,
-                        keepdims=True,
-                    )
-                    qfo = qfo_all[r * R:(r + 1) * R]
-                    Hs.append(Bq[:, W:] * (oof - qfo).astype(a_dtype))
-                lhs2 = fused_rows(lhst_ref, folN.astype(a_dtype), ownl,
-                                  ones_r)
-                rhs2 = jnp.concatenate([F14] + Hs, axis=1)     # (R,(1+nr)4W)
-                res2 = jax.lax.dot_general(
-                    lhs2, rhs2,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )                                              # (nl,(1+nr)4W)
-                uts = []
-                for r in range(nrhs):
-                    seg = slice((1 + r) * W4, (2 + r) * W4)
-                    oh = res2[NR:NR + 3, seg]
-                    if not is_f32:
-                        oh = oh + res2[NR + 4:NR + 7, seg]
-                    hsum = res2[NR + 3:NR + 4, seg]
-                    uts.append(
-                        res2[3 * r:3 * r + 3, 0:W4] + oh - q4 * hsum
-                    )
-                ut = (uts[0] if nrhs == 1
-                      else jnp.concatenate(uts, axis=0))       # (NR, 4W)
-                for h in range(NT):
-                    j0 = _unpack_j0(jz_ref[1 + h, c * T + t])
-                    a = pl.multiple_of(j0 // 128 * 128, 128)
-                    w = jnp.pad(
-                        ut[:, h * W:(h + 1) * W], ((0, 0), (0, RW - W))
-                    )
-                    acct_ref[h, :, pl.ds(a, RW)] += pltpu.roll(
-                        w, j0 - a, 1
-                    )
-
-        # transposed fold: cyclic ranks -> slots.  Ranks < nv are slots;
-        # ranks in [nv, nv+W) wrap to slots [0, W).  Positions >= nv of the
-        # head hold wrap-rank data (re-added by the tail fold), so they are
-        # masked out.
-        for h in range(NT):
-            nv = nvs[1 + h]
-            a2 = pl.multiple_of(nv // 128 * 128, 128)
-            head = jnp.where(iota_s < nv, acct_ref[h, :, :S], 0.0)
-            tail_w = pltpu.roll(          # + RW: keep the dynamic shift
-                acct_ref[h, :, pl.ds(a2, RW)], a2 - nv + RW, 1   # positive
-            )[:, :W]
-            u_ref[ci, 1 + h] = head + jnp.pad(tail_w, ((0, 0), (0, S - W)))
+        _fold_acct(ci, nvs, acct_ref, u_ref, spec=spec)
 
 
 def make_own_pos(bins: CellBins, spec: BandSpec) -> jax.Array:
-    """(C, R, T·8) own coordinates for matvec_banded, computed ONCE per
+    """(C, R, T·8) own coordinates (+ mask as component 3) for
+    matvec_banded and the fused build+matvec kernel, computed ONCE per
     step: lane group t·8+k holds component k of tile t's rows, so the
-    kernel's per-tile (R, 8) read is a STATIC lane slice.  (Reading a
+    kernels' per-tile (R, 8) read is a STATIC lane slice.  (Reading a
     column out of a lane-major array in-kernel needs a 128-wide read +
     rotate per component, measured ~0.2 ms/matvec; and the earlier
     (C, T, R, 8) layout's 8-wide lane minor was stored lane-padded to 128
@@ -1041,10 +1088,10 @@ def make_own_pos(bins: CellBins, spec: BandSpec) -> jax.Array:
     S = spec.bins.cap
     R = spec.rows
     T = S // R
-    pos = jnp.stack([bins.px, bins.py, bins.pz], axis=0)       # (3, C, S)
-    C = pos.shape[1]
+    pos = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
+    C = pos.shape[1]                                           # (4, C, S)
     arr8 = jnp.concatenate(
-        [pos, jnp.zeros((5,) + pos.shape[1:], jnp.float32)], axis=0
+        [pos, jnp.zeros((4,) + pos.shape[1:], jnp.float32)], axis=0
     )                                                          # (8, C, S)
     return arr8.reshape(8, C, T, R).transpose(1, 3, 2, 0).reshape(C, R, T * 8)
 
@@ -1085,14 +1132,11 @@ def matvec_banded(
     NR = 3 * nrhs
     sext = _sext_of(spec)                     # cyclic-window lane extent
     f_pad = jnp.pad(f_cells, ((0, 0), (0, 0), (0, sext - S)))
-    # Same (C, R, T·8) lane-group layout as make_own_pos: the transpose
-    # writes ~9× fewer physical bytes than a (C, T, R, 8) target (whose
-    # 8-wide lane minor is stored padded to 128) and the kernel slices
-    # (R, 8) tiles statically on lanes.
-    own_f = jnp.concatenate(
-        [f_cells,
-         jnp.zeros((8 - NR,) + f_cells.shape[1:], jnp.float32)], axis=0
-    ).reshape(8, C, T, R).transpose(1, 3, 2, 0).reshape(C, R, T * 8)
+    # No row-major own-force operand: the transposed side consumes the
+    # column-major force prefold directly via a transposed-lhs contraction
+    # (_tile_apply's moq dot) — the old (C, R, T·8) re-layout cost one
+    # ~0.1 ms XLA copy per matvec (~0.8 ms/step at m=6, the step's
+    # dominant copy traffic).
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
 
     if cols_per_step is None:
@@ -1127,8 +1171,6 @@ def matvec_banded(
                          memory_space=pltpu.VMEM),        # prefolded coords
             pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),        # own coords
-            pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),        # own forces
             pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
         ],
         # Forward result (slot 0) and mirror contributions (slots 1..4) at
@@ -1158,9 +1200,15 @@ def matvec_banded(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(offsets_arr, n_valid, jz_flat, blocks, pos_cyc, own_pos,
-      own_f, f_pad)
+    )(offsets_arr, n_valid, jz_flat, blocks, pos_cyc, own_pos, f_pad)
 
+    return _finish_u(uo, spec, f_cells, self_mobility)
+
+
+def _finish_u(uo, spec: BandSpec, f_cells, self_mobility):
+    """(C, N_HALF, NR, S) kernel output -> u (NR, C, S): fold the forward
+    block with the mirror contributions (rolled onto their targets in XLA)
+    and add the self term."""
     u = jnp.moveaxis(uo[:, 0], 1, 0)                    # (NR, C, S) forward
     # Mirror contributions: uo[c, 1+h] holds what column c's blocks
     # contribute to column c+offsets[1+h] — roll each onto its target.
@@ -1170,3 +1218,256 @@ def matvec_banded(
             roll_cells(uo[:, 1 + h], spec.bins, (-ox, -oy, 0)), 1, 0
         )
     return u + self_mobility * f_cells
+
+
+def _build_mv_kernel(
+    offs_ref, nv_ref, tilt_ref, jz_ref, posm_ref, ownp_ref, f_ref,
+    a_ref, pos_ref, u_ref,
+    mcyc_ref, acct_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref, *,
+    spec: BandSpec, L, cheb, cut2, dr2, cps: int, nrhs: int,
+):
+    """Fused build + FIRST matvec, grid (C // cps,): per column, the pair
+    coefficients are evaluated (identically to _build_kernel), written to
+    the A output AND immediately applied to the force windows with the
+    _tile_apply core — the first of the step's (m+1) near-field matvecs
+    therefore never re-reads the A stream from HBM (~1 ms/step at bench
+    scale), and the position/force prefolds + the per-(tile, offset)
+    window roll are shared between the build evaluation and the matvec
+    (rows [x, y, z, mask, f·NR] of one cyclic array).
+
+    The matvec consumes the ROUNDED (storage-dtype) coefficients — the
+    exact values later matvecs stream back — so the Lanczos recurrence
+    sees one consistent operator across all iterations.
+
+    Outputs: A (as build_banded_blocks), pos_cyc (coords for the later
+    matvecs' windows), u (per-column forward + mirror blocks, folded by
+    _finish_u like matvec_banded's).
+    """
+    ncx, ncy, _ = spec.bins.n_cells
+    S = spec.bins.cap
+    R = spec.rows
+    W = spec.window
+    T = S // R
+    SEXT = mcyc_ref.shape[-1]
+    RW = _read_width(spec)
+    NR = 3 * nrhs
+    dtype = jnp.dtype(spec.block_dtype)
+
+    g = pl.program_id(0)
+    tilt = tilt_ref[0]
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    for ci in range(cps):
+        c = g * cps + ci
+        cx = jax.lax.div(c, ncy)
+        cy = jax.lax.rem(c, ncy)
+        acct_ref[:] = jnp.zeros_like(acct_ref)
+
+        # Cyclic prefolds, positions AND forces in one stacked array:
+        # rows [x, y, z, mask, f0..f(NR-1)] — one roll per (tile, offset)
+        # below serves both the pair evaluation and the matvec windows.
+        nvs = []
+        for h in range(N_HALF):
+            ox = offs_ref[h, 0]
+            oy = offs_ref[h, 1]
+            nbr = _neighbor_column(c, ox, oy, ncx, ncy)
+            nv = nv_ref[nbr]
+            nvs.append(nv)
+            wx = jnp.where(cx + ox >= ncx, 1.0,
+                           jnp.where(cx + ox < 0, -1.0, 0.0))
+            wy = jnp.where(cy + oy >= ncy, 1.0,
+                           jnp.where(cy + oy < 0, -1.0, 0.0))
+            sy = wy * L[1]
+            sx = wx * L[0] + tilt * sy
+            pm = _cyclic_prefold(
+                posm_ref[:, pl.ds(nbr, 1), :].reshape(4, SEXT), nv, SEXT,
+                shifts=(sx, sy, L[2]),
+            )
+            mcyc_ref[h, 0:4] = pm
+            pos_ref[ci, h] = pm[0:3, :]
+            col = f_ref[:, pl.ds(nbr, 1), :].reshape(NR, SEXT)
+            mcyc_ref[h, 4:4 + NR] = jnp.where(
+                iota_e < nv, col, pltpu.roll(col, nv, 1)
+            )
+
+        for t in range(T):
+            sl = slice(t * R, (t + 1) * R)
+            ownp8 = ownp_ref[ci, :, t * 8:(t + 1) * 8]        # (R, 8)
+            xi = ownp8[:, 0:1]
+            yi = ownp8[:, 1:2]
+            zi = ownp8[:, 2:3]
+            mi = ownp8[:, 3:4]
+            islot = t * R + iota_r                            # (R, 1)
+
+            wins_b = []
+            wins_f = []
+            sames = []
+            for h in range(N_HALF):
+                jzh = jz_ref[h, c * T + t]
+                j0 = _unpack_j0(jzh)
+                nv = nvs[h]
+                a0 = pl.multiple_of(j0 // 128 * 128, 128)
+                # + RW biases the dynamic shift positive (negative rolls
+                # wrap mod next-pow2 lane width on hardware)
+                win = pltpu.roll(
+                    mcyc_ref[h, :, pl.ds(a0, RW)], a0 - j0 + RW, 1
+                )[:, :W]                                      # (4+NR, W)
+                use_main = (j0 + iota_w) < nv
+                lane_ok = iota_w < nv
+                jslot = jnp.where(use_main, j0 + iota_w, j0 + iota_w - nv)
+                zw = win[2:3] - _unpack_zsh(jzh, L[2])
+                mw = jnp.where(lane_ok, win[3:4], 0.0)
+                wins_b.append(jnp.concatenate([win[0:2], zw, mw], axis=0))
+                wins_f.append(
+                    jnp.concatenate([win[4:4 + NR], win[0:2], zw], axis=0)
+                )
+                sames.append(
+                    jnp.where((h == 0) & (jslot == islot), 1.0, 0.0)
+                )
+            bq4 = jnp.concatenate(wins_b, axis=1)             # (4, 5W)
+            fq = jnp.concatenate(wins_f, axis=1)              # (NR+3, 5W)
+            same = jnp.concatenate(sames, axis=1)             # (R, 5W)
+
+            imrr, bq = _pair_components(
+                xi, yi, zi, mi,
+                bq4[0:1], bq4[1:2], bq4[2:3], bq4[3:4], tilt,
+                L=L, cheb=cheb, cut2=cut2, dr2=dr2, same_slot=same,
+                zshift=0.0, geometric=True,
+            )
+            F1 = imrr.astype(dtype)
+            Bq = bq.astype(dtype)
+            a_ref[0, ci, 0, sl, :] = F1
+            a_ref[0, ci, 1, sl, :] = Bq
+
+            fw = fq[0:NR]
+            cc_s = ownp8[0:1, 0:3]
+            own3 = ownp8[:, 0:3] - cc_s                       # (R, 3)
+            ccl = mcyc_ref[0, 0:3, t * R:t * R + 1]           # (3, 1)
+            q = fq[NR:NR + 3] - ccl                           # (3, 5W)
+            ownl = mcyc_ref[0, 0:3, sl.start:sl.stop] - ccl
+            folN = mcyc_ref[0, 4:4 + NR, sl.start:sl.stop]    # (NR, R)
+
+            _tile_apply(
+                t, c, ci, F1, Bq, fw, q, own3, ownl, folN,
+                jz_ref, u_ref, acct_ref, lhsf_ref, lhst_ref, own6_ref,
+                ofr_ref, spec=spec, nrhs=nrhs, parts="both", a_dtype=dtype,
+            )
+
+        _fold_acct(ci, nvs, acct_ref, u_ref, spec=spec)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "cheb", "L", "ewald_cut", "ewald_dr",
+                     "self_mobility", "interpret", "cols_per_step"),
+)
+def build_mv_banded(
+    bins: CellBins,
+    tilt_xy,
+    spec: BandSpec,
+    cheb: ChebPair,
+    L: tuple,
+    ewald_cut: float,
+    ewald_dr: float,
+    j0: jax.Array,             # (O, C, T) int32 from compute_windows
+    n_valid: jax.Array,        # (C,) int32
+    zsh: jax.Array,            # (O, C, T) f32 from compute_windows
+    own_pos: jax.Array,        # (C, R, T*8) from make_own_pos
+    f_cells: jax.Array,        # (3·nrhs, C, S) f32 — padded slots MUST be zero
+    self_mobility,
+    interpret: bool = False,
+    cols_per_step: int | None = None,
+):
+    """(A, pos_cyc, u): build the banded pair coefficients AND apply them
+    to ``f_cells`` in one fused kernel — build_banded_blocks +
+    matvec_banded with the first matvec's A re-read (the step's dominant
+    HBM stream) eliminated.  The integrator rides the step's first Lanczos
+    matvec (and the fused deterministic M·F, nrhs=2) on this call."""
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    S = spec.bins.cap
+    R = spec.rows
+    W = spec.window
+    T = S // R
+    f_cells = f_cells.astype(jnp.float32)
+    nrhs = f_cells.shape[0] // 3
+    NR = 3 * nrhs
+    sext = _sext_of(spec)
+
+    posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
+    posm_pad = jnp.pad(posm, ((0, 0), (0, 0), (0, sext - S)))
+    f_pad = jnp.pad(f_cells, ((0, 0), (0, 0), (0, sext - S)))
+    offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
+    tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
+    jz_flat = _pack_jz(j0, zsh, float(L[2]))
+
+    if cols_per_step is None:
+        # Same budget logic as matvec_banded — here the A block is a
+        # double-buffered OUTPUT instead of an input stream.
+        budget = 8 * 2 ** 20
+        cols_per_step = next(
+            (d for d in (4, 3, 2) if C % d == 0
+             and d * 2 * S * N_HALF * W
+             * jnp.dtype(spec.block_dtype).itemsize <= budget),
+            1,
+        )
+    cps = cols_per_step
+
+    kernel = partial(
+        _build_mv_kernel,
+        spec=spec,
+        L=tuple(float(x) for x in L),
+        cheb=cheb,
+        cut2=float(ewald_cut) ** 2,
+        dr2=float(ewald_dr) ** 2,
+        cps=cps,
+        nrhs=nrhs,
+    )
+    blocks, pos_cyc, uo = pl.pallas_call(
+        kernel,
+        grid=(C // cps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
+            pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),        # own coords+mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, cps, 2, S, N_HALF * W), lambda g: (0, g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, N_HALF, NR, S), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (1, C, 2, S, N_HALF * W), jnp.dtype(spec.block_dtype)
+            ),
+            jax.ShapeDtypeStruct((C, N_HALF, 3, sext), jnp.float32),
+            jax.ShapeDtypeStruct((C, N_HALF, NR, S), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_HALF, 4 + NR, sext), jnp.float32),   # mcyc
+            pltpu.VMEM((N_HALF - 1, NR, sext), jnp.float32),   # acct
+            pltpu.VMEM((16, N_HALF * W), jnp.float32),         # lhsf
+            pltpu.VMEM((16, R), jnp.float32),                  # lhst
+            pltpu.VMEM((nrhs * R, 8), jnp.float32),            # own6
+            pltpu.VMEM((8, nrhs * N_HALF * W), jnp.float32),   # ofr
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(offsets_arr, n_valid, tilt, jz_flat, posm_pad, own_pos, f_pad)
+
+    return blocks, pos_cyc, _finish_u(uo, spec, f_cells, self_mobility)

@@ -201,11 +201,25 @@ def sqrt_mreal(
     state1 = iter_with_w(init, first_w, assemble=False)
     state_w = jax.lax.while_loop(warm_cond, warm_iter, state1)
     final = jax.lax.while_loop(cond, lanczos_iter, state_w)
-    # The result coefficients are assembled ONCE from the stored (alpha,
-    # beta) — also what makes the warm phase's skipped assemblies safe,
-    # breakdown truncation included (zero-padded trailing blocks decouple,
-    # Brownian.cu:507-510 semantics), then ONE basis contraction.
-    f_final = _sqrt_tridiag_e1(final.alpha, final.beta, m_max)
+    # The result coefficients come from the LAST assembling iteration's f:
+    # that iteration computed _sqrt_tridiag_e1 over the same stored
+    # (alpha, beta) arrays the final state carries, so recomputing it here
+    # would duplicate the eigh — and each eigh costs ~0.15 ms of small-op
+    # launch latency on TPU regardless of m_max (measured; the 24×24 math
+    # is free, the ~100-op storm is not).  The only path on which final.f
+    # is stale is a breakdown BEFORE the first assembling iteration (the
+    # main loop then runs zero iterations and the warm-phase f is still
+    # 0); the cond's captured operands are (m_max,) vectors, so the
+    # materialization cost that rules lax.cond out inside the iteration
+    # (~0.7 ms with the big basis captured) does not apply here.
+    # Breakdown truncation stays exact either way: zero-padded trailing
+    # blocks decouple, Brownian.cu:507-510 semantics.
+    f_final = jax.lax.cond(
+        final.j == state_w.j,          # no assembling iteration ran
+        lambda ab: _sqrt_tridiag_e1(ab[0], ab[1], m_max),
+        lambda ab: final.f,
+        (final.alpha, final.beta),
+    )
     vel = jnp.einsum(
         "m,m...->...", f_final, final.V, preferred_element_type=jnp.float32
     ).astype(dtype)

@@ -242,6 +242,12 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
 
         return vec_to_cells(ctx.nf_bins, bs.bins, values)
 
+    def build_mv(ctx, ft):
+        """Halo prepare builds the per-shard blocks up front (the fused
+        single-chip build+matvec kernel is not shard_map'd yet), so the
+        step's first matvec is a plain (multi-RHS) matvec here."""
+        return ctx, _matvec(ctx, ft)
+
     def mreal_particles(ctx, forces):
         from ..cellbins import vec_from_cells, vec_to_cells
 
@@ -257,6 +263,7 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     e.mreal_t = mreal_t
     e.mreal_t2 = mreal_t2
     e.f_slots_t = f_slots_t
+    e.build_mv = build_mv
     e.mreal_particles = mreal_particles
     e.spread = base.spread
     e.contract = base.contract

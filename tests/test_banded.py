@@ -253,6 +253,52 @@ def test_banded_2rhs_matvec_interpret():
     assert _rel(u2[3:6], ub) < 1e-6
 
 
+def test_banded_build_mv_fused_interpret():
+    """The fused build+matvec kernel (bdn.build_mv_banded — the step's
+    first near-field matvec, which never re-reads the A stream) must
+    produce the SAME A / pos_cyc as build_banded_blocks and the same u as
+    matvec_banded, for nrhs=2 (the fuse2 path) — the rounded in-register
+    coefficients it applies are exactly the stored ones."""
+    from pse_tpu.box import make_box
+    from pse_tpu.cellbins import bin_columns, vec_to_cells
+    from pse_tpu.ops import banded_nearfield as bdn
+
+    rng = np.random.default_rng(23)
+    n, L = 1080, 24.0
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    f1 = rng.normal(size=(n, 3)).astype(np.float32)
+    f2 = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg = integrator.make_config(params, n, thermal=False, engine="banded",
+                                 block_dtype="float32")
+    bs, cheb, p = cfg.band_spec, cfg.cheb, cfg.params
+    box = make_box(p.L, 0.07)
+    bins = bin_columns(jnp.asarray(pos), box, bs.bins)
+    j0, nv, ovf, zsh = bdn.compute_windows(bins, bs, box, p.ewald_cut)
+    assert not bool(ovf)
+    ft = jnp.concatenate([
+        vec_to_cells(bins, bs.bins, jnp.asarray(f1)),
+        vec_to_cells(bins, bs.bins, jnp.asarray(f2)),
+    ], axis=0)
+    own_pos = bdn.make_own_pos(bins, bs)
+
+    blocks_f, pcyc_f, u_f = bdn.build_mv_banded(
+        bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
+        zsh, own_pos, ft, p.self_mobility, interpret=True,
+    )
+    blocks, pos_cyc = bdn.build_banded_blocks(
+        bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
+        zsh, interpret=True,
+    )
+    u = bdn.matvec_banded(
+        blocks, pos_cyc, own_pos, j0, nv, zsh, bs, ft, p.self_mobility,
+        p.L, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(blocks_f), np.asarray(blocks))
+    np.testing.assert_array_equal(np.asarray(pcyc_f), np.asarray(pos_cyc))
+    assert _rel(u_f, u) < 1e-6
+
+
 def test_banded_fused_forces_step_linearity():
     """The fused thermal+forces step (M·F riding the first Lanczos matvec)
     must contribute exactly U = M·F on top of the zero-forces step: same

@@ -9,6 +9,10 @@ the production A blocks, to find which mechanism recovers the XLA rate:
   block      auto-pipelined BlockSpec stream, grid (C/cps,) - current pattern
   block2     same but A split into two arrays (imrr / bq) - 2 DMA queues
   manual<K>  A in ANY memory space; K-deep manual make_async_copy pipeline
+  multi<K,F> manual K-deep pipeline where each block is fetched as F
+             DISJOINT async copies (split on the column axis) with their
+             own semaphores - probes whether parallel DMAs aggregate past
+             the single-copy ~320 GB/s ceiling
 
 Every kernel takes a (8, 128) carry that feeds the next call so XLA cannot
 hoist the (otherwise loop-invariant) call out of the timing scan.
@@ -195,6 +199,58 @@ def main():
         )
         return chained(call)
 
+    # --- manual pipeline, F parallel copies per block ---------------------
+    def multi_kernel(a_ref, c_ref, o_ref, buf_ref, sem_ref, *,
+                     cps, depth, fan):
+        nsteps = C // cps
+        sub = cps // fan
+
+        def fetch(step, slot):
+            for f in range(fan):
+                pltpu.make_async_copy(
+                    a_ref.at[0, pl.ds(step * cps + f * sub, sub)],
+                    buf_ref.at[slot, pl.ds(f * sub, sub)],
+                    sem_ref.at[slot, f],
+                ).start()
+
+        for k in range(min(depth, nsteps)):
+            fetch(k, k)
+
+        def body(step, acc):
+            slot = jax.lax.rem(step, depth)
+            for f in range(fan):
+                pltpu.make_async_copy(
+                    a_ref.at[0, pl.ds(step * cps + f * sub, sub)],
+                    buf_ref.at[slot, pl.ds(f * sub, sub)],
+                    sem_ref.at[slot, f],
+                ).wait()
+            acc = acc + buf_ref[slot, 0, 0, 0:8, 0:128].astype(jnp.float32)
+            nxt = step + depth
+
+            @pl.when(nxt < nsteps)
+            def _():
+                fetch(nxt, slot)
+            return acc
+
+        o_ref[:, :] = jax.lax.fori_loop(0, nsteps, body, c_ref[:, :] * 0.5)
+
+    def make_multi(cps, depth, fan):
+        call = pl.pallas_call(
+            functools.partial(multi_kernel, cps=cps, depth=depth, fan=fan),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((depth, cps, 2, S, W5), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((depth, fan)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 2 ** 20,
+            ),
+        )
+        return chained(call)
+
     for cps in (int(x) for x in args.cps.split(",")):
         timed(f"block cps={cps}", make_block(cps), a)
     for cps in (int(x) for x in args.cps.split(",")):
@@ -207,6 +263,16 @@ def main():
                       flush=True)
                 continue
             timed(f"manual cps={cps} d={depth}", make_manual(cps, depth), a)
+    for cps in (int(x) for x in args.cps.split(",")):
+        for depth in (int(x) for x in args.depth.split(",")):
+            vmem = depth * cps * 2 * S * W5 * 2
+            if vmem > 90 * 2 ** 20:
+                continue
+            for fan in (2, 4):
+                if cps % fan:
+                    continue
+                timed(f"multi cps={cps} d={depth} f={fan}",
+                      make_multi(cps, depth, fan), a)
 
 
 if __name__ == "__main__":
