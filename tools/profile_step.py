@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/pse_trace")
     ap.add_argument("--lattice", action="store_true",
                     help="jittered lattice instead of uniform random positions")
+    ap.add_argument("--dump-hlo", default=None,
+                    help="write the optimized (post-layout) HLO to this path")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +97,13 @@ def main():
     print(f"step wall: {wall*1e3:.2f} ms  ({n/wall:.3g} particle-steps/s)  "
           f"m_lanczos={int(state.m_lanczos)}", flush=True)
 
+    if args.dump_hlo:
+        txt = run_chunk.lower(state).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO ({len(txt)/1e6:.1f} MB) -> {args.dump_hlo}",
+              flush=True)
+
     os.makedirs(args.trace_dir, exist_ok=True)
     jax.profiler.start_trace(args.trace_dir)
     state = run_chunk(state)
@@ -133,10 +142,10 @@ def main():
             c.get("children", []),
             key=lambda k: -k.get("metrics", {}).get("rawTime", 0),
         )
-        for k in kids[:8]:
+        for k in kids[:16]:
             kt = k.get("metrics", {}).get("rawTime", 0)
             kocc = k.get("metrics", {}).get("occurrences", 0)
-            if kt / 1e12 / n_steps * 1e3 < 0.05:
+            if kt / 1e12 / n_steps * 1e3 < 0.02:
                 break
             print(f"      {kt/1e12/n_steps*1e3:7.3f} ms/step "
                   f"{kocc/n_steps:6.1f}/step  {k.get('name', '?')[:90]}")
