@@ -11,8 +11,12 @@ the physically meaningful φ=0.45 configuration).  Two workloads are measured:
                    exercises the full fused pipeline: spread + forward FFT +
                    near-field M·F on top of the Brownian machinery.
 
-Steps run as one device-side lax.scan chunk (launch overhead amortized, like
-Simulation.run).  Prints ONE JSON line (the brownian headline, metric
+Steps run as device-side lax.scan chunks (launch overhead amortized, like
+Simulation.run).  Chunk length 100: each dispatch over the axon tunnel costs
+~16 ms of host-side gap regardless of chunk size (measured: wall-vs-xprof
+device time at chunk 25/50), so 25-step chunks inflated the per-step wall by
+~2 ms over the 13.98 ms device step — production runs scan longer, the bench
+should too.  Prints ONE JSON line (the brownian headline, metric
 continuity with round 1); the full breakdown, including the with-forces
 number and an optional ξ sweep (--sweep; each ξ is a fresh ~10 min TPU
 compile), goes to stderr and BENCH_DETAILS.json.
@@ -47,7 +51,7 @@ def make_positions(n, phi, seed=0):
 
 
 def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
-              n_steps=50, chunk=25, seed=0, engine="banded"):
+              n_steps=400, chunk=100, seed=0, engine="banded"):
     import jax
     import jax.numpy as jnp
     import pse_tpu as pse

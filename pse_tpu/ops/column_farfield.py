@@ -156,12 +156,17 @@ def build_col_factors(
     dyu = L[1] * fdy
     dz = L[2] * fdz
     dx = (L[0] * fdx)[:, :, :, None] + box.tilt_xy * dyu[:, :, None, :]
+    # Factors are STORED in the matmul dtype (bf16 on TPU at error >= 1e-3):
+    # both consumers cast them at the einsum anyway, so storing f32 just
+    # doubled the build write + contract/spread read (wxy is 82 MB f32 at
+    # bench scale).  The cast is fused into the exp fusions.
+    dtype, _ = _matmul_dtype(spec)
     wxy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, :, None, :]))
     wz = jnp.exp(-expfac * dz * dz) * bins.mask[:, :, None]
 
     return ColFactors(
-        wxy=wxy.reshape(C, spec.bins.cap, 9 * sx * sy),
-        wz=wz,
+        wxy=wxy.reshape(C, spec.bins.cap, 9 * sx * sy).astype(dtype),
+        wz=wz.astype(dtype),
     )
 
 
@@ -171,10 +176,17 @@ def _matmul_dtype(spec: ColFfSpec):
     return jnp.dtype(spec.weight_dtype), None
 
 
-def _grid_to_windows(grid: jax.Array, spec: ColFfSpec, params: PSEParams):
-    """(3, Nx, Ny, Nz) -> (C, 9·sx·sy, 3·Nz) xy-windows, minor dim Nz."""
+def _grid_to_windows(grid: jax.Array, spec: ColFfSpec, params: PSEParams,
+                     dtype=None):
+    """(3, Nx, Ny, Nz) -> (C, 9·sx·sy, 3·Nz) xy-windows, minor dim Nz.
+
+    ``dtype``: cast BEFORE the 9x window duplication so the materialized
+    window array (95 MB f32 at bench scale) is built in the matmul dtype —
+    casting after cost a separate 0.18 ms relayout copy per step."""
     sx, sy = spec.s
     ncx, ncy, _ = spec.bins.n_cells
+    if dtype is not None:
+        grid = grid.astype(dtype)
     g = grid.reshape(3, ncx, sx, ncy, sy, params.Nz)
     g = g.transpose(1, 2, 3, 4, 0, 5)            # (ncx, sx, ncy, sy, 3, Nz)
     # V[b, o] = blocks[b + o - 1] per axis (adjoint of the spread fold)
@@ -218,11 +230,14 @@ def spread_col(
     cap = spec.bins.cap
     dtype, precision = _matmul_dtype(spec)
 
+    # X is built directly in the matmul dtype (the cast fuses into the
+    # outer-product fusion — materializing f32 and casting at the einsum
+    # cost a second full-size pass over 95 MB at bench scale).
     X = (
         f_cells.transpose(1, 2, 0)[:, :, :, None] * factors.wz[:, :, None, :]
-    ).reshape(C, cap, 3 * params.Nz)
+    ).reshape(C, cap, 3 * params.Nz).astype(dtype)
     out = jnp.einsum(
-        "cpn,cpm->cnm", factors.wxy.astype(dtype), X.astype(dtype),
+        "cpn,cpm->cnm", factors.wxy.astype(dtype), X,
         preferred_element_type=jnp.float32, precision=precision,
     )                                            # (C, 9·sx·sy, 3·Nz)
     out = out * jnp.float32(params.spread_prefac)
@@ -242,12 +257,21 @@ def contract_col(
     cap = spec.bins.cap
     dtype, precision = _matmul_dtype(spec)
 
-    v = _grid_to_windows(grid_real, spec, params)    # (C, 9·sx·sy, 3·Nz)
+    v = _grid_to_windows(grid_real, spec, params, dtype)  # (C, 9sxsy, 3Nz)
     H = jnp.einsum(
-        "cpn,cnm->cpm", factors.wxy.astype(dtype), v.astype(dtype),
+        "cpn,cnm->cpm", factors.wxy.astype(dtype), v,
         preferred_element_type=jnp.float32, precision=precision,
     )                                                # (C, cap, 3·Nz)
-    H = H.reshape(C, cap, 3, params.Nz)
-    u = jnp.sum(H * factors.wz[:, :, None, :], axis=3)   # (C, cap, 3)
+    # H is rounded to the matmul dtype before the z-contraction: its 164 MB
+    # f32 write+read dominated the contract's HBM traffic, and the rounding
+    # (~0.4% per element, averaged over the ~P significant z-terms) sits an
+    # order below the bf16 matmul-input rounding already accepted at
+    # error >= 1e-3 (pinned by test_farfield_paths).  Accumulation stays
+    # f32 via preferred_element_type; full_precision keeps everything f32.
+    H = H.reshape(C, cap, 3, params.Nz).astype(dtype)
+    u = jnp.einsum(
+        "cpkz,cpz->kcp", H, factors.wz,
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                                # (3, C, cap) directly
     scale = jnp.float32(params.quadW * params.spread_prefac)
-    return scale * u.transpose(2, 0, 1)              # (3, C, cap)
+    return scale * u

@@ -91,6 +91,51 @@ def test_spread_contract_adjoint():
     assert abs(lhs - rhs) <= 1e-4 * abs(lhs)
 
 
+def test_column_bf16_grade():
+    """Pin the bf16-weight column far field (the TPU production dtype at
+    error >= 1e-3, incl. the bf16-rounded H intermediate in contract_col)
+    against the f32 path: end-to-end spread/contract error must stay at
+    bf16-matmul grade (~1e-3), well inside the error=1e-3 budget the
+    dtype is gated on (make_col_spec).  Runs the bf16 arithmetic
+    explicitly so CI covers it off-TPU (the backend gate would pick f32)."""
+    pos, params, _, rng = _setup(seed=5)
+    spec32 = cff.make_col_spec(params, pos.shape[0], "float32")
+    spec16 = spec32._replace(weight_dtype="bfloat16")
+    L = params.L
+    box = Box(jnp.asarray(L, jnp.float32), jnp.asarray(0.25, jnp.float32))
+    bins = bin_particles(jnp.asarray(pos), box, spec32.bins)
+    f = rng.normal(size=(pos.shape[0], 3)).astype(np.float32)
+    f_cells = vec_to_cells(bins, spec32.bins, jnp.asarray(f))
+    gv = jnp.asarray(
+        rng.normal(size=(3, params.Nx, params.Ny, params.Nz)).astype(np.float32)
+    )
+
+    fac32 = cff.build_col_factors(bins, box, spec32, params)
+    fac16 = cff.build_col_factors(bins, box, spec16, params)
+    assert fac16.wxy.dtype == jnp.bfloat16 and fac16.wz.dtype == jnp.bfloat16
+
+    # Bounds are a GRADE pin on a white-noise grid (the harshest input: no
+    # smoothness for roundings to average over).  Measured 2026-08-19:
+    # spread max 4.0e-3 / rms 2.7e-3, contract max 5.1e-3 / rms 3.2e-3 —
+    # ~15-30% above the pre-H-rounding bf16 path (2.9e-3/4.1e-3 max), same
+    # grade.  The physical end-to-end gauge is the full-step TPU-vs-f32
+    # contract (~6e-4 max rel, tools/check_determinism.py) — smooth grids
+    # average the per-element roundings down an order.
+    g32 = cff.spread_col(bins, f_cells, box, spec32, params, fac32)
+    g16 = cff.spread_col(bins, f_cells, box, spec16, params, fac16)
+    err = float(jnp.max(jnp.abs(g16 - g32)) / jnp.max(jnp.abs(g32)))
+    assert err < 6e-3, f"bf16 spread error {err:.2e}"
+    err = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
+    assert err < 4e-3, f"bf16 spread rms error {err:.2e}"
+
+    u32 = cff.contract_col(bins, gv, box, spec32, params, fac32)
+    u16 = cff.contract_col(bins, gv, box, spec16, params, fac16)
+    err = float(jnp.max(jnp.abs(u16 - u32)) / jnp.max(jnp.abs(u32)))
+    assert err < 6e-3, f"bf16 contract error {err:.2e}"
+    err = float(jnp.linalg.norm(u16 - u32) / jnp.linalg.norm(u32))
+    assert err < 4e-3, f"bf16 contract rms error {err:.2e}"
+
+
 def test_column_is_default_ff_path():
     """make_config wires the z-column far field for banded/blocked engines;
     end-to-end U = M·F agrees with the stored-W fallback."""
