@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--thermal", action="store_true")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="TIMED repeats after the compile call — a halo-"
+                    "engine perf regression shows up as a number, not just "
+                    "non-green (VERDICT r3).  Suggested regression config: "
+                    "--n 200000 --thermal --steps 3 (minutes on the 8-CPU "
+                    "mesh; N=1M is compile-dominated, ~1 h).")
     args = ap.parse_args()
 
     if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
@@ -81,22 +87,40 @@ def main():
         hstep = halo.make_halo_step(config, mesh)
         state = sh.shard_state(integrator.make_state(pos), mesh)
         t0 = time.perf_counter()
-        new_state, info = hstep(state, forces, 1.0, 1e-3, 0.0)
-        jax.block_until_ready(new_state.pos)
-        print(f"thermal step: {time.perf_counter()-t0:.1f}s "
-              f"(m={int(new_state.m_lanczos)}, "
-              f"overflow={bool(new_state.nbr_overflow)})")
-        assert bool(jnp.all(jnp.isfinite(new_state.pos)))
+        state, info = hstep(state, forces, 1.0, 1e-3, 0.0)
+        jax.block_until_ready(state.pos)
+        print(f"thermal step (incl. compile): {time.perf_counter()-t0:.1f}s "
+              f"(m={int(state.m_lanczos)}, "
+              f"overflow={bool(state.nbr_overflow)})")
+        assert bool(jnp.all(jnp.isfinite(state.pos)))
+        if args.steps:
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, info = hstep(state, forces, 1.0, 1e-3, 0.0)
+            np.asarray(state.pos)
+            dt_step = (time.perf_counter() - t0) / args.steps
+            print(f"TIMED halo thermal step: {dt_step:.2f} s/step "
+                  f"({n/dt_step:.3g} particle-steps/s on "
+                  f"{args.devices}x{jax.devices()[0].platform})")
     else:
         hmob = halo.make_halo_mobility(config, mesh)
         t0 = time.perf_counter()
         u, overflow = hmob(pos_s, forces)
         jax.block_until_ready(u)
-        print(f"mobility U = M·F: {time.perf_counter()-t0:.1f}s "
-              f"(overflow={bool(overflow)})")
-        u = np.asarray(u[:1000])
-        assert np.all(np.isfinite(u))
-        print("U sample rms:", float(np.sqrt((u ** 2).mean())))
+        print(f"mobility U = M·F (incl. compile): "
+              f"{time.perf_counter()-t0:.1f}s (overflow={bool(overflow)})")
+        us = np.asarray(u[:1000])
+        assert np.all(np.isfinite(us))
+        print("U sample rms:", float(np.sqrt((us ** 2).mean())))
+        if args.steps:
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                u, overflow = hmob(pos_s, forces)
+            jax.block_until_ready(u)
+            dt_mv = (time.perf_counter() - t0) / args.steps
+            print(f"TIMED halo mobility: {dt_mv:.2f} s/call "
+                  f"({n/dt_mv:.3g} particle-matvecs/s on "
+                  f"{args.devices}x{jax.devices()[0].platform})")
     print("OK")
 
 
