@@ -64,7 +64,7 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
     params = pse.make_params(xi=xi, error=1e-3, L=L)
     config = integrator.make_config(
         params, n, thermal=True, seed=1, engine=engine,
-        has_forces=has_forces,
+        has_forces=has_forces, positions=pos,
     )
     state = integrator.make_state(pos)
     rng = np.random.default_rng(seed + 1)
@@ -170,8 +170,15 @@ def tpu_correctness_check(rel_tol=2e-3):
     pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
     forces = rng.normal(size=(n, 3)).astype(np.float32)
     params = pse.make_params(xi=0.5, error=1e-3, L=L)
-    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded")
+    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded",
+                                   positions=pos)
     assert cfg_b.engine == "banded", "check config too small for banded"
+    # the occupancy-class packed kernels (the production headline path)
+    # must be what this gate certifies — fail loudly if the chooser ever
+    # stops engaging them at gate geometry
+    assert cfg_b.band_spec.classes is not None, (
+        "gate config no longer exercises occupancy-class packing"
+    )
     cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked")
 
     def cross_check(name, cfg, p, f, tilt, tol=rel_tol):
@@ -248,7 +255,8 @@ def sweep_residual(xi, n=5000, phi=0.45, rel_tol=2e-3):
     rng = np.random.default_rng(11)
     forces = rng.normal(size=(n, 3)).astype(np.float32)
     params = pse.make_params(xi=xi, error=1e-3, L=L)
-    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded")
+    cfg_b = integrator.make_config(params, n, thermal=False, engine="banded",
+                                   positions=pos)
     if cfg_b.engine != "banded":
         return None                     # geometry too small to band at this ξ
     cfg_d = integrator.make_config(params, n, thermal=False, engine="blocked")

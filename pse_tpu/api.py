@@ -36,8 +36,8 @@ import numpy as np
 from . import shear as shear_function
 from .box import Box
 from .integrator import (
-    State, StepConfig, grow_config, make_config, make_state, mobility,
-    step as _step,
+    OVF_CLASS, State, StepConfig, grow_config, make_config, make_state,
+    mobility, step as _step,
 )
 from .params import make_params
 
@@ -130,6 +130,7 @@ class Simulation:
         # Per-step observability (SURVEY.md §5: "step timing and Lanczos m"):
         # m_lanczos histogram {m: count}, overflow regrow retries, total steps.
         self.metrics = {"m_lanczos_hist": {}, "overflow_retries": 0, "steps": 0}
+        self._class_regrows = 0
 
     # -- setup ------------------------------------------------------------
 
@@ -176,6 +177,12 @@ class Simulation:
             # analogue); only the gather engine enumerates neighbors, the
             # blocked/banded engines bin directly.
             nbr_subdiv=2 if method.nlist_type.upper() == "STENCIL" else 1,
+            # measured column occupancy sizes the banded engine's packing
+            # classes (structured densities beat any Poisson model)
+            positions=np.asarray(
+                self.state.pos if self._group is None
+                else self.state.pos[self._group]
+            ),
         )
         # Cell sizes and the spreading-Gaussian safety factor λ(γ) are built
         # for THIS worst-case tilt; set_params must not silently exceed it.
@@ -351,9 +358,32 @@ class Simulation:
                         "the engine's layout can absorb (try engine='blocked'"
                         " or a larger initial capacity)"
                     )
-                self.config = grow_config(
-                    self.config, flags=int(new_state.nbr_overflow)
-                )
+                flags = int(new_state.nbr_overflow)
+                self.config = grow_config(self.config, flags=flags)
+                if (flags & OVF_CLASS
+                        and self.config.band_spec is not None
+                        and self._class_regrows < 2):
+                    # the density drifted past the occupancy classes sized at
+                    # construction: re-measure from the CURRENT positions
+                    # (grow_config above dropped to the safe single class;
+                    # after 2 re-measures give up and keep it)
+                    from pse_tpu.ops import banded_nearfield as bdn
+
+                    self._class_regrows += 1
+                    pos_h = np.asarray(
+                        snapshot.pos if self._group is None
+                        else snapshot.pos[self._group]
+                    )
+                    bs = self.config.band_spec
+                    needs = bdn.measure_col_needs(
+                        bs, pos_h, self.config.params.L
+                    )
+                    self.config = dataclasses.replace(
+                        self.config,
+                        band_spec=bdn.make_band_classes(
+                            bs, pos_h.shape[0], needs
+                        ),
+                    )
                 self.state = snapshot
                 self.metrics["overflow_retries"] += 1
                 continue

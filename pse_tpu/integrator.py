@@ -59,6 +59,7 @@ OVF_BAND = 2      # banded window width
 OVF_FF = 4        # far-field cell capacity
 OVF_LANCZOS = 8   # Lanczos m_max hit unconverged
 OVF_NBR = 16      # gather-engine neighbor capacity
+OVF_CLASS = 32    # banded occupancy-class capacities (falls back to 1 class)
 
 
 def _ovf(flag, bit: int):
@@ -141,10 +142,17 @@ def make_config(
     shard_slabs: int = 1,
     ff_weight_dtype: str | None = None,
     nbr_subdiv: int = 1,
+    positions=None,
 ) -> StepConfig:
     """Build a StepConfig, choosing blocked-engine shapes from the density.
 
     Falls back to the gather engine when the box/grid is too small to block.
+
+    ``positions``: optional (N, 3) host array of the initial configuration —
+    when given, the banded engine's occupancy classes are sized from the
+    MEASURED column-occupancy histogram instead of a Poisson model
+    (structured densities like lattices have occupancy spreads several
+    times Poisson; mis-sized classes cost an overflow recompile).
     """
     from .neighbors import make_spec
 
@@ -179,6 +187,13 @@ def make_config(
             n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
             block_dtype=block_dtype, ncx_multiple=shard_slabs,
         )
+        if shard_slabs == 1:
+            # Occupancy-class packed A (the halo engine keeps one class:
+            # its per-shard column sets make class capacities shard-local)
+            needs = None
+            if positions is not None and band_spec is not None:
+                needs = bdn.measure_col_needs(band_spec, positions, params.L)
+            band_spec = bdn.make_band_classes(band_spec, n_particles, needs)
         if ff_spec is None or band_spec is None:
             engine = "blocked"                 # geometry too small to band
             ff_spec = band_spec = None
@@ -242,7 +257,8 @@ def grow_config(
     from .neighbors import grow_spec
 
     if flags is None:
-        flags = OVF_NF | OVF_BAND | OVF_FF | OVF_LANCZOS | OVF_NBR
+        flags = (OVF_NF | OVF_BAND | OVF_FF | OVF_LANCZOS | OVF_NBR
+                 | OVF_CLASS)
     flags = int(flags)
 
     changes = {}
@@ -268,6 +284,14 @@ def grow_config(
         changes["colff_spec"] = config.colff_spec._replace(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
         )
+    if (flags & OVF_CLASS and config.band_spec is not None
+            and config.band_spec.classes is not None):
+        # Class-capacity overflow (more high-occupancy columns than the
+        # upper classes hold — a >=5sigma event at the chooser's margins):
+        # drop back to the always-safe single class.  (The band-growth
+        # block below also drops classes: a changed cap/rows invalidates
+        # the per-class tile counts.)
+        changes["band_spec"] = config.band_spec._replace(classes=None)
     if config.band_spec is not None and flags & (OVF_NF | OVF_BAND):
         bs = config.band_spec
         rows, window = bs.rows, bs.window
@@ -289,7 +313,8 @@ def grow_config(
             cap = int(-(-cap * factor // rows)) * rows
         cap = max(-(-cap // rows) * rows, window)
         changes["band_spec"] = bs._replace(
-            bins=bs.bins._replace(cap=cap), rows=rows, window=window
+            bins=bs.bins._replace(cap=cap), rows=rows, window=window,
+            classes=None,
         )
     return dataclasses.replace(config, **changes)
 
@@ -333,11 +358,15 @@ class _BandedCtx(NamedTuple):
     j0: jax.Array          # (O, C, T) i32 band window starts
     n_valid: jax.Array     # (C,) i32 occupied slots per column
     zsh: jax.Array         # (O, C, T) f32 window z-image shifts
-    blocks: object         # (1, C, 2, S, 5W) pair coefficients (None off-TPU)
-    pos_cyc: object        # (C, 5, 3, SEXT) prefolded coords (None off-TPU)
-    own_pos: object        # (C, R, T*8) own coords (None off-TPU)
+    blocks: object         # (1, C, 2, S, 5W) pair coefficients (None off-TPU;
+                           #  per-class tuple when spec.classes is set)
+    pos_cyc: object        # (C, 5, 3, SEXT) prefolded coords (None off-TPU;
+                           #  per-class tuple when spec.classes is set)
+    own_pos: object        # (C, R, T*8) own coords (None off-TPU; per-class
+                           #  tuple of permuted copies when classes are set)
     ff_weights: object
     tilt: jax.Array        # () f32 box tilt (reference matvec needs it)
+    cls: object = None     # (perm, inv) occupancy-class packing, or None
 
 
 def _pallas_interpret() -> bool:
@@ -410,7 +439,7 @@ def _ff_contract(config, ctx, box, grid_v):
     """Velocity grid -> particle velocities (N, 3)."""
     if config.colff_spec is not None:
         spec = config.colff_spec
-        u_cells = cff.contract_col(
+        u_cells = cff.contract_col_auto(
             ctx.ff_bins, grid_v, box, spec, config.params, ctx.ff_weights
         )
         return vec_from_cells(ctx.ff_bins, spec.bins, u_cells)
@@ -450,19 +479,31 @@ def _prepare_banded(config, pos, box):
     # blocks/pos_cyc stay None until the engine's build_mv: the build is
     # FUSED with the step's first near-field matvec (bdn.build_mv_banded)
     # so that matvec never re-reads the A stream from HBM.
-    blocks = pos_cyc = own_pos = None
+    blocks = pos_cyc = own_pos = cls = None
+    class_overflow = jnp.asarray(False)
     if not _pallas_interpret():
         own_pos = bdn.make_own_pos(nf_bins, bs)
+        if bs.classes is not None:
+            # Occupancy-class packing: sort columns by tile need so the A
+            # stream / build skip the all-pad tail tiles (ops/
+            # banded_nearfield.make_band_classes).
+            perm, inv, class_overflow = bdn.class_assignment(bs, n_valid)
+            cls = (perm, inv)
+            own_pos = tuple(
+                jnp.take(own_pos, perm[off:off + ck], axis=0)
+                for (tk, ck, off) in bdn.class_segments(bs)
+            )
     ff_weights = _ff_shared(config, ff_bins, box)
     overflow = (
         _ovf(nf_bins.overflow, OVF_NF)
         | _ovf(ff_bins.overflow, OVF_FF)
         | _ovf(band_overflow, OVF_BAND)
+        | _ovf(class_overflow, OVF_CLASS)
     )
     return (
         _BandedCtx(nf_bins, ff_bins, j0, n_valid, zsh, blocks, pos_cyc,
                    own_pos, ff_weights,
-                   jnp.asarray(box.tilt_xy, jnp.float32)),
+                   jnp.asarray(box.tilt_xy, jnp.float32), cls),
         overflow,
     )
 
@@ -513,7 +554,7 @@ def _engine(config: StepConfig):
                 )
             return bdn.matvec_banded(
                 ctx.blocks, ctx.pos_cyc, ctx.own_pos, ctx.j0, ctx.n_valid,
-                ctx.zsh, bs, cells, p.self_mobility, p.L,
+                ctx.zsh, bs, cells, p.self_mobility, p.L, pack=ctx.cls,
             )
 
         def mreal_t(ctx, cells):
@@ -532,6 +573,7 @@ def _engine(config: StepConfig):
             return bdn.matvec_banded(
                 ctx.blocks, ctx.pos_cyc, ctx.own_pos, ctx.j0,
                 ctx.n_valid, ctx.zsh, bs, cells, p.self_mobility, p.L,
+                pack=ctx.cls,
             )
 
         def f_slots_t(ctx, values):
@@ -551,7 +593,7 @@ def _engine(config: StepConfig):
             blocks, pos_cyc, u = bdn.build_mv_banded(
                 ctx.nf_bins, ctx.tilt, bs, config.cheb, p.L, p.ewald_cut,
                 p.ewald_dr, ctx.j0, ctx.n_valid, ctx.zsh, ctx.own_pos,
-                ft, p.self_mobility,
+                ft, p.self_mobility, pack=ctx.cls,
             )
             return ctx._replace(blocks=blocks, pos_cyc=pos_cyc), u
 

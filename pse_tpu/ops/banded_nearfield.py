@@ -85,6 +85,13 @@ class BandSpec(NamedTuple):
     window: int              # W — band window width (multiple of 128)
     rows: int                # R — row-tile height (multiple of 8)
     block_dtype: str = "bfloat16"
+    # Occupancy classes ((tiles_k, ncols_k), ...) ascending by tiles, summing
+    # to C, last tiles_k == cap//rows: columns are packed per step into the
+    # smallest class whose tile count covers ceil(n_valid/rows), so the A
+    # stream and the build evaluation skip the all-pad tail tiles the 4-sigma
+    # cap slack forces on the AVERAGE column (~15 of 18 tiles real at bench
+    # scale).  None = single class (off-TPU, halo shards, small configs).
+    classes: tuple | None = None
 
 
 def make_band_spec(
@@ -162,6 +169,161 @@ def make_band_spec(
         rows=rows,
         block_dtype=block_dtype,
     )
+
+
+def measure_col_needs(spec: BandSpec, pos, L) -> "np.ndarray":
+    """Measured per-column tile need ceil(n_valid/rows) — host-side numpy
+    (no device round trip; used at CONFIG time to size occupancy classes).
+
+    Uses the untilted column map (tilt at config time is ~always 0, and the
+    chooser's capacity slack absorbs the small reassignment a tilt causes).
+    """
+    import numpy as np
+
+    ncx, ncy, _ = spec.bins.n_cells
+    L = tuple(float(x) for x in L)
+    p = np.asarray(pos, np.float64)
+    fx = np.mod(p[:, 0] / L[0] + 0.5, 1.0)
+    fy = np.mod(p[:, 1] / L[1] + 0.5, 1.0)
+    cx = np.clip((fx * ncx).astype(np.int64), 0, ncx - 1)
+    cy = np.clip((fy * ncy).astype(np.int64), 0, ncy - 1)
+    counts = np.bincount(cx * ncy + cy, minlength=ncx * ncy)
+    return -(-np.maximum(counts, 1) // spec.rows)
+
+
+def make_band_classes(
+    spec: BandSpec | None, n_particles: int, col_needs=None
+) -> BandSpec | None:
+    """Choose occupancy classes for the packed kernels (or leave spec as-is).
+
+    The column cap carries 4σ+8 Poisson slack, but tiles past
+    ceil(n_valid/rows) hold identically-zero A — streaming and evaluating
+    them is pure waste (~17% at bench scale).
+
+    ``col_needs``: measured per-column tile needs (numpy ints).  Real
+    workloads (the bench's vacancy-diluted lattice, any structured density)
+    have column-occupancy spreads far beyond Poisson (measured std 78 vs
+    Poisson 21.5 at bench scale — lattice-to-column aliasing), so when a
+    measurement is available the thresholds/capacities come from it
+    (brute-force over ≤4 classes, capacities m·1.15+5).  Without one, a
+    Poisson model sizes conservative 3-class capacities.  Either way,
+    per-step assignment overflow is sticky (OVF_CLASS) and the regrow path
+    re-measures or drops to a single class.
+    """
+    import numpy as np
+
+    if spec is None or spec.classes is not None:
+        return spec
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    R = spec.rows
+    t_cap = spec.bins.cap // R
+    mu = n_particles / C
+    if C < 32 or t_cap < 6 or mu < 64:
+        return spec
+
+    if col_needs is not None:
+        needs = np.asarray(col_needs, np.int64)
+        if needs.shape[0] != C or needs.max() > t_cap:
+            return spec
+
+        def m_gt(t):                   # measured columns needing > t tiles
+            return int((needs > t).sum())
+
+        def cap_gt(t):                 # capacity above t: +15% and +5 slack
+            return min(C, int(math.ceil(m_gt(t) * 1.15 + 5.0)))
+
+        cand_ts = sorted({int(t) for t in needs if t < t_cap})
+        best = None
+        from itertools import combinations
+
+        for k in (1, 2, 3):            # number of sub-cap classes
+            for ts in combinations(cand_ts, k):
+                # Σ capacities above threshold ts[j] = cap_gt(ts[j]); the
+                # capacity of the class AT ts[j] is the difference of
+                # adjacent cums (cap_gt is nonincreasing in t, so all >= 0).
+                cums = [cap_gt(t) for t in ts]
+                c_low = C - cums[0]
+                if c_low <= 0:
+                    continue
+                classes = [(ts[0], c_low)]
+                for j in range(1, k):
+                    classes.append((ts[j], cums[j - 1] - cums[j]))
+                classes.append((t_cap, cums[k - 1]))
+                classes = [(t, c) for (t, c) in classes if c > 0]
+                if len(classes) < 2:
+                    continue
+                # ~0.5% per extra launch: per-class pallas_call overhead
+                cost = sum(t * c for t, c in classes)
+                cost += 0.005 * C * t_cap * (len(classes) - 1)
+                if best is None or cost < best[0]:
+                    best = (cost, tuple(classes))
+        if best is None or best[0] > 0.94 * C * t_cap:
+            return spec
+        return spec._replace(classes=best[1])
+
+    sigma = math.sqrt(mu)
+
+    def p_le(t):                       # P(ceil(nv/R) <= t) = P(nv <= t*R)
+        return 0.5 * (1.0 + math.erf((t * R + 0.5 - mu) / (sigma * math.sqrt(2.0))))
+
+    def cap_frac(p_gt):                # capacity ABOVE a class: 5σ + 2% slack
+        return p_gt + 5.0 * math.sqrt(max(p_gt * (1.0 - p_gt), 1e-9) / C) + 0.02
+
+    t1 = max(1, int(math.ceil((mu + 0.5 * sigma) / R)))
+    t2 = t1 + 1
+    if t2 >= t_cap:
+        return spec
+    c3 = min(C, int(math.ceil(C * cap_frac(1.0 - p_le(t2)))))
+    c23 = min(C, int(math.ceil(C * cap_frac(1.0 - p_le(t1)))))
+    c2 = max(c23 - c3, 0)
+    c1 = C - c3 - c2
+    if c1 <= 0:
+        return spec
+    avg = (c1 * t1 + c2 * t2 + c3 * t_cap) / C
+    if avg > 0.94 * t_cap:             # <6% stream saving: not worth 3 launches
+        return spec
+    classes = tuple(
+        (t, c) for (t, c) in ((t1, c1), (t2, c2), (t_cap, c3)) if c > 0
+    )
+    if len(classes) < 2:
+        return spec
+    return spec._replace(classes=classes)
+
+
+def class_segments(spec: BandSpec):
+    """Packed-order segments [(tiles_k, ncols_k, col_offset_k), ...],
+    need-DESCENDING (the packed permutation sorts columns by descending
+    tile need, so the largest class owns packed columns [0, c_K))."""
+    segs = []
+    off = 0
+    for (tk, ck) in reversed(spec.classes):
+        segs.append((tk, ck, off))
+        off += ck
+    return segs
+
+
+def class_assignment(spec: BandSpec, n_valid: jax.Array):
+    """(perm, inv, overflow): the packed→actual column order for the
+    occupancy-class kernels.
+
+    Columns sort by descending tile need with ascending-id tie-break
+    (lax.sort is stable → deterministic, bitwise-reproducible packing);
+    packed segment k (class_segments order) must satisfy need <= tiles_k,
+    checked on each segment's FIRST (largest) member.  ``inv`` restores
+    actual column order on the concatenated per-class kernel outputs.
+    """
+    C = n_valid.shape[0]
+    R = spec.rows
+    need = (jnp.maximum(n_valid, 1) + (R - 1)) // R          # (C,) i32 >= 1
+    ids = jnp.arange(C, dtype=jnp.int32)
+    neg_sorted, perm = jax.lax.sort((-need, ids), num_keys=1)
+    need_desc = -neg_sorted
+    overflow = jnp.asarray(False)
+    for (tk, ck, off) in class_segments(spec):
+        overflow = overflow | (need_desc[off] > tk)
+    inv = jnp.zeros((C,), jnp.int32).at[perm].set(ids)
+    return perm, inv, overflow
 
 
 def compute_windows(
@@ -646,6 +808,10 @@ def build_banded_blocks(
     coordinates, both built once per step.  The matvec reconstructs the
     dyadic ddᵀ part from pos_cyc (3x fewer stored bytes than the expanded
     6-component tensor; the A stream is the step's dominant HBM traffic)."""
+    assert spec.classes is None, (
+        "build_banded_blocks is the single-class build; the occupancy-class "
+        "packed path goes through build_mv_banded(pack=...)"
+    )
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -931,11 +1097,12 @@ def _fold_acct(ci, nvs, acct_ref, u_ref, *, spec: BandSpec):
 
 
 def _matvec_kernel(
-    offs_ref, nv_ref, jz_ref, a_ref, pcyc_ref, ownp_ref,
+    offs_ref, nv_ref, jz_ref, perm_ref, a_ref, pcyc_ref, ownp_ref,
     f_ref,
     u_ref,
     acct_ref, fcyc_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref, *,
     spec: BandSpec, L, cps: int, nrhs: int = 1, parts: str = "both",
+    tcap: int | None = None,
 ):
     """Grid (column,): ONE streamed read of the N_HALF stored offsets per
     column, applied BOTH ways (Mobility.cu:594-687 pair symmetry):
@@ -1000,10 +1167,21 @@ def _matvec_kernel(
     a_dtype = a_ref.dtype
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
     NR = 3 * nrhs
+    if tcap is None:
+        tcap = T
 
     for ci in range(cps):
-        c = g * cps + ci
+        # Occupancy-class packing: the grid runs over PACKED columns (A and
+        # pos_cyc are stored class-packed, need-descending); perm maps back
+        # to the actual column id, which drives neighbor arithmetic, the
+        # window tables (full-T stride), and n_valid.  Single-class callers
+        # pass the identity.
+        c = perm_ref[g * cps + ci]
         acct_ref[:] = jnp.zeros_like(acct_ref)
+        if tcap < T:
+            # Tiles >= tcap hold identically-zero A (pad rows) and are
+            # skipped — zero their share of the own-rows output plane.
+            u_ref[ci, 0] = jnp.zeros((NR, S), jnp.float32)
 
         nvs = []
         # One cyclic prefold per (column, offset) of the FORCE columns;
@@ -1025,7 +1203,7 @@ def _matvec_kernel(
             )
             fcyc_ref[h, NR:NR + 3] = pcyc_ref[ci, h]
 
-        for t in range(T):
+        for t in range(tcap):
             sl = slice(t * R, (t + 1) * R)
             a_tile = a_ref[0, ci, :, sl, :]                    # (2, R, 5W)
             if parts == "none":
@@ -1099,9 +1277,9 @@ def make_own_pos(bins: CellBins, spec: BandSpec) -> jax.Array:
 @partial(jax.jit, static_argnames=("spec", "self_mobility", "L", "interpret",
                                    "parts", "cols_per_step"))
 def matvec_banded(
-    blocks: jax.Array,         # (1, C, 2, S, 5W) from build_banded_blocks
-    pos_cyc: jax.Array,        # (C, N_HALF, 3, SEXT) from build_banded_blocks
-    own_pos: jax.Array,        # (C, R, T*8) from make_own_pos
+    blocks,                    # (1, C, 2, S, 5W), or per-class tuple (packed)
+    pos_cyc,                   # (C, N_HALF, 3, SEXT), or per-class tuple
+    own_pos,                   # (C, R, T*8) from make_own_pos, or tuple
     j0: jax.Array,             # (O, C, T) int32
     n_valid: jax.Array,        # (C,) int32
     zsh: jax.Array,            # (O, C, T) f32 from compute_windows
@@ -1112,6 +1290,7 @@ def matvec_banded(
     interpret: bool = False,
     parts: str = "both",       # "fwd"/"t"/"none": timing probes (WRONG result)
     cols_per_step: int | None = None,
+    pack=None,                 # (perm, inv) from class_assignment, or None
 ) -> jax.Array:
     """u = M_real · f in column layout: one streamed read of the half band's
     (imrr, bco/d²) coefficients, applied forward and transposed (the mirror
@@ -1139,68 +1318,90 @@ def matvec_banded(
     # dominant copy traffic).
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
 
-    if cols_per_step is None:
-        # The A stream has a fixed per-grid-step issue cost: amortize over
-        # a few columns per step, but keep blocks small enough that the
-        # parallel grid's multi-buffering fits VMEM (cps=4 measured best;
-        # 6/8 were 10-15% slower and 24 blew the 100 MB scoped limit).
-        budget = 8 * 2 ** 20
-        cols_per_step = next(
-            (d for d in (4, 3, 2) if C % d == 0
-             and d * 2 * S * N_HALF * W * blocks.dtype.itemsize <= budget),
-            1,
-        )
-    cps = cols_per_step
-
+    a_dtype = jnp.dtype(spec.block_dtype)
     jz_flat = _pack_jz(j0, zsh, float(L[2]))    # SMEM budget: one i32 table
-    kernel = partial(_matvec_kernel, spec=spec,
-                     L=tuple(float(x) for x in L), cps=cps, nrhs=nrhs,
-                     parts=parts)
 
-    uo = pl.pallas_call(
-        kernel,
-        grid=(C // cps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
-            pl.BlockSpec((1, cps, 2, S, N_HALF * W),
-                         lambda g: (0, g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),        # A (streamed)
-            pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),        # prefolded coords
-            pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),        # own coords
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
-        ],
-        # Forward result (slot 0) and mirror contributions (slots 1..4) at
-        # the OWN column, one output DMA per grid step; the caller rolls
-        # the mirrors onto their target columns in XLA.  Column axis
-        # LEADING so the block's minor dims (3, S) equal the array dims —
-        # the Mosaic (8, 128) block-divisibility rule only exempts full
-        # dimensions.
-        out_specs=pl.BlockSpec((cps, N_HALF, NR, S), lambda g: (g, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, N_HALF, NR, S), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((N_HALF - 1, NR, sext), jnp.float32),
-            pltpu.VMEM((N_HALF, NR + 3, sext), jnp.float32),
-            pltpu.VMEM((16, N_HALF * W), jnp.float32),
-            pltpu.VMEM((16, R), jnp.float32),
-            pltpu.VMEM((nrhs * R, 8), jnp.float32),
-            pltpu.VMEM((8, nrhs * N_HALF * W), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            # Every output element is written by its own grid step (no
-            # cross-step accumulation since the forward result moved into
-            # the per-column block), so steps may overlap freely.
-            dimension_semantics=("parallel",),
-            # default scoped-vmem limit is 16 MB; the double-buffered
-            # multi-column A stream plus the VMEM-resident inputs need more
-            vmem_limit_bytes=100 * 2 ** 20,
-        ),
-        interpret=interpret,
-    )(offsets_arr, n_valid, jz_flat, blocks, pos_cyc, own_pos, f_pad)
+    def launch(blocks_k, pcyc_k, ownp_k, perm_k, tcap_k):
+        """One pallas_call over ``perm_k``'s columns at ``tcap_k`` tiles."""
+        ck = perm_k.shape[0]
+        sk = tcap_k * R
+        if cols_per_step is None:
+            # The A stream has a fixed per-grid-step issue cost: amortize
+            # over a few columns per step, but keep blocks small enough that
+            # the parallel grid's multi-buffering fits VMEM (cps=4 measured
+            # best; 6/8 were 10-15% slower and 24 blew the 100 MB limit).
+            budget = 8 * 2 ** 20
+            cps = next(
+                (d for d in (4, 3, 2) if ck % d == 0
+                 and d * 2 * sk * N_HALF * W * a_dtype.itemsize <= budget),
+                1,
+            )
+        else:
+            cps = cols_per_step
+        kernel = partial(_matvec_kernel, spec=spec,
+                         L=tuple(float(x) for x in L), cps=cps, nrhs=nrhs,
+                         parts=parts, tcap=tcap_k)
+        return pl.pallas_call(
+            kernel,
+            grid=(ck // cps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # perm (ck,)
+                pl.BlockSpec((1, cps, 2, sk, N_HALF * W),
+                             lambda g: (0, g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),        # A (streamed)
+                pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),        # prefolded coords
+                pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),        # own coords
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
+            ],
+            # Forward result (slot 0) and mirror contributions (slots 1..4)
+            # at the OWN column, one output DMA per grid step; the caller
+            # rolls the mirrors onto their target columns in XLA.  Column
+            # axis LEADING so the block's minor dims (3, S) equal the array
+            # dims — the Mosaic (8, 128) block-divisibility rule only
+            # exempts full dimensions.
+            out_specs=pl.BlockSpec((cps, N_HALF, NR, S),
+                                   lambda g: (g, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ck, N_HALF, NR, S), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((N_HALF - 1, NR, sext), jnp.float32),
+                pltpu.VMEM((N_HALF, NR + 3, sext), jnp.float32),
+                pltpu.VMEM((16, N_HALF * W), jnp.float32),
+                pltpu.VMEM((16, R), jnp.float32),
+                pltpu.VMEM((nrhs * R, 8), jnp.float32),
+                pltpu.VMEM((8, nrhs * N_HALF * W), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # Every output element is written by its own grid step (no
+                # cross-step accumulation since the forward result moved
+                # into the per-column block), so steps may overlap freely.
+                dimension_semantics=("parallel",),
+                # default scoped-vmem limit is 16 MB; the double-buffered
+                # multi-column A stream plus the VMEM-resident inputs need
+                # more
+                vmem_limit_bytes=100 * 2 ** 20,
+            ),
+            interpret=interpret,
+        )(offsets_arr, n_valid, jz_flat, perm_k, blocks_k, pcyc_k, ownp_k,
+          f_pad)
+
+    if spec.classes is None:
+        ident = jnp.arange(C, dtype=jnp.int32)
+        uo = launch(blocks, pos_cyc, own_pos, ident, T)
+    else:
+        perm, inv = pack
+        uos = []
+        for k, (tk, ck, off) in enumerate(class_segments(spec)):
+            uos.append(
+                launch(blocks[k], pos_cyc[k], own_pos[k],
+                       perm[off:off + ck], tk)
+            )
+        uo = jnp.concatenate(uos, axis=0)[inv]        # back to actual order
 
     return _finish_u(uo, spec, f_cells, self_mobility)
 
@@ -1221,10 +1422,11 @@ def _finish_u(uo, spec: BandSpec, f_cells, self_mobility):
 
 
 def _build_mv_kernel(
-    offs_ref, nv_ref, tilt_ref, jz_ref, posm_ref, ownp_ref, f_ref,
+    offs_ref, nv_ref, tilt_ref, jz_ref, perm_ref, posm_ref, ownp_ref, f_ref,
     a_ref, pos_ref, u_ref,
     mcyc_ref, acct_ref, lhsf_ref, lhst_ref, own6_ref, ofr_ref, *,
     spec: BandSpec, L, cheb, cut2, dr2, cps: int, nrhs: int,
+    tcap: int | None = None,
 ):
     """Fused build + FIRST matvec, grid (C // cps,): per column, the pair
     coefficients are evaluated (identically to _build_kernel), written to
@@ -1258,12 +1460,18 @@ def _build_mv_kernel(
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, SEXT), 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    if tcap is None:
+        tcap = T
 
     for ci in range(cps):
-        c = g * cps + ci
+        # Occupancy-class packing: see _matvec_kernel.  A/pos_cyc/u blocks
+        # are written in packed order; perm gives the actual column id.
+        c = perm_ref[g * cps + ci]
         cx = jax.lax.div(c, ncy)
         cy = jax.lax.rem(c, ncy)
         acct_ref[:] = jnp.zeros_like(acct_ref)
+        if tcap < T:
+            u_ref[ci, 0] = jnp.zeros((NR, S), jnp.float32)
 
         # Cyclic prefolds, positions AND forces in one stacked array:
         # rows [x, y, z, mask, f0..f(NR-1)] — one roll per (tile, offset)
@@ -1292,7 +1500,7 @@ def _build_mv_kernel(
                 iota_e < nv, col, pltpu.roll(col, nv, 1)
             )
 
-        for t in range(T):
+        for t in range(tcap):
             sl = slice(t * R, (t + 1) * R)
             ownp8 = ownp_ref[ci, :, t * 8:(t + 1) * 8]        # (R, 8)
             xi = ownp8[:, 0:1]
@@ -1374,17 +1582,22 @@ def build_mv_banded(
     j0: jax.Array,             # (O, C, T) int32 from compute_windows
     n_valid: jax.Array,        # (C,) int32
     zsh: jax.Array,            # (O, C, T) f32 from compute_windows
-    own_pos: jax.Array,        # (C, R, T*8) from make_own_pos
+    own_pos,                   # (C, R, T*8) from make_own_pos, or tuple
     f_cells: jax.Array,        # (3·nrhs, C, S) f32 — padded slots MUST be zero
     self_mobility,
     interpret: bool = False,
     cols_per_step: int | None = None,
+    pack=None,                 # (perm, inv) from class_assignment, or None
 ):
     """(A, pos_cyc, u): build the banded pair coefficients AND apply them
     to ``f_cells`` in one fused kernel — build_banded_blocks +
     matvec_banded with the first matvec's A re-read (the step's dominant
     HBM stream) eliminated.  The integrator rides the step's first Lanczos
-    matvec (and the fused deterministic M·F, nrhs=2) on this call."""
+    matvec (and the fused deterministic M·F, nrhs=2) on this call.
+
+    With spec.classes, one kernel launch per occupancy class builds a
+    class-PACKED A / pos_cyc (returned as tuples, consumed by
+    matvec_banded with the same ``pack``)."""
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy
     S = spec.bins.cap
@@ -1395,6 +1608,7 @@ def build_mv_banded(
     nrhs = f_cells.shape[0] // 3
     NR = 3 * nrhs
     sext = _sext_of(spec)
+    a_dtype = jnp.dtype(spec.block_dtype)
 
     posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
     posm_pad = jnp.pad(posm, ((0, 0), (0, 0), (0, sext - S)))
@@ -1403,71 +1617,89 @@ def build_mv_banded(
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
     jz_flat = _pack_jz(j0, zsh, float(L[2]))
 
-    if cols_per_step is None:
-        # Same budget logic as matvec_banded — here the A block is a
-        # double-buffered OUTPUT instead of an input stream.
-        budget = 8 * 2 ** 20
-        cols_per_step = next(
-            (d for d in (4, 3, 2) if C % d == 0
-             and d * 2 * S * N_HALF * W
-             * jnp.dtype(spec.block_dtype).itemsize <= budget),
-            1,
+    def launch(ownp_k, perm_k, tcap_k):
+        ck = perm_k.shape[0]
+        sk = tcap_k * R
+        if cols_per_step is None:
+            # Same budget logic as matvec_banded — here the A block is a
+            # double-buffered OUTPUT instead of an input stream.
+            budget = 8 * 2 ** 20
+            cps = next(
+                (d for d in (4, 3, 2) if ck % d == 0
+                 and d * 2 * sk * N_HALF * W * a_dtype.itemsize <= budget),
+                1,
+            )
+        else:
+            cps = cols_per_step
+        kernel = partial(
+            _build_mv_kernel,
+            spec=spec,
+            L=tuple(float(x) for x in L),
+            cheb=cheb,
+            cut2=float(ewald_cut) ** 2,
+            dr2=float(ewald_dr) ** 2,
+            cps=cps,
+            nrhs=nrhs,
+            tcap=tcap_k,
         )
-    cps = cols_per_step
+        return pl.pallas_call(
+            kernel,
+            grid=(ck // cps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # perm (ck,)
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
+                pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),        # own coords+mask
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, cps, 2, sk, N_HALF * W), lambda g: (0, g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cps, N_HALF, NR, S), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, ck, 2, sk, N_HALF * W), a_dtype),
+                jax.ShapeDtypeStruct((ck, N_HALF, 3, sext), jnp.float32),
+                jax.ShapeDtypeStruct((ck, N_HALF, NR, S), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((N_HALF, 4 + NR, sext), jnp.float32),   # mcyc
+                pltpu.VMEM((N_HALF - 1, NR, sext), jnp.float32),   # acct
+                pltpu.VMEM((16, N_HALF * W), jnp.float32),         # lhsf
+                pltpu.VMEM((16, R), jnp.float32),                  # lhst
+                pltpu.VMEM((nrhs * R, 8), jnp.float32),            # own6
+                pltpu.VMEM((8, nrhs * N_HALF * W), jnp.float32),   # ofr
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 2 ** 20,
+            ),
+            interpret=interpret,
+        )(offsets_arr, n_valid, tilt, jz_flat, perm_k, posm_pad, ownp_k,
+          f_pad)
 
-    kernel = partial(
-        _build_mv_kernel,
-        spec=spec,
-        L=tuple(float(x) for x in L),
-        cheb=cheb,
-        cut2=float(ewald_cut) ** 2,
-        dr2=float(ewald_dr) ** 2,
-        cps=cps,
-        nrhs=nrhs,
-    )
-    blocks, pos_cyc, uo = pl.pallas_call(
-        kernel,
-        grid=(C // cps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # offsets (O, 2)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # n_valid (C,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
-            pl.BlockSpec((cps, R, T * 8), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),        # own coords+mask
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # f_pad (whole)
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, cps, 2, S, N_HALF * W), lambda g: (0, g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((cps, N_HALF, 3, sext), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cps, N_HALF, NR, S), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(
-                (1, C, 2, S, N_HALF * W), jnp.dtype(spec.block_dtype)
-            ),
-            jax.ShapeDtypeStruct((C, N_HALF, 3, sext), jnp.float32),
-            jax.ShapeDtypeStruct((C, N_HALF, NR, S), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((N_HALF, 4 + NR, sext), jnp.float32),   # mcyc
-            pltpu.VMEM((N_HALF - 1, NR, sext), jnp.float32),   # acct
-            pltpu.VMEM((16, N_HALF * W), jnp.float32),         # lhsf
-            pltpu.VMEM((16, R), jnp.float32),                  # lhst
-            pltpu.VMEM((nrhs * R, 8), jnp.float32),            # own6
-            pltpu.VMEM((8, nrhs * N_HALF * W), jnp.float32),   # ofr
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 2 ** 20,
-        ),
-        interpret=interpret,
-    )(offsets_arr, n_valid, tilt, jz_flat, posm_pad, own_pos, f_pad)
+    if spec.classes is None:
+        ident = jnp.arange(C, dtype=jnp.int32)
+        blocks, pos_cyc, uo = launch(own_pos, ident, T)
+    else:
+        perm, inv = pack
+        blocks, pos_cyc, uos = [], [], []
+        for k, (tk, ck, off) in enumerate(class_segments(spec)):
+            b_k, p_k, u_k = launch(own_pos[k], perm[off:off + ck], tk)
+            blocks.append(b_k)
+            pos_cyc.append(p_k)
+            uos.append(u_k)
+        blocks = tuple(blocks)
+        pos_cyc = tuple(pos_cyc)
+        uo = jnp.concatenate(uos, axis=0)[inv]        # back to actual order
 
     return blocks, pos_cyc, _finish_u(uo, spec, f_cells, self_mobility)

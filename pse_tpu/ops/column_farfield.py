@@ -36,10 +36,13 @@ Cross-validated against the stored-W sweep in tests/test_farfield_paths.py.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..box import Box
 from ..cellbins import BinSpec, CellBins
@@ -56,10 +59,15 @@ class ColFfSpec(NamedTuple):
 
 
 class ColFactors(NamedTuple):
-    """Per-step Gaussian factors shared by spread and contract."""
+    """Per-step Gaussian factors shared by spread and contract.
 
-    wxy: jax.Array   # (C, cap, 9·sx·sy) joint xy window factor (tilt-aware)
-    wz: jax.Array    # (C, cap, Nz) full-column z factor, mask folded
+    Both factors keep CAP as the minor dimension: cap is 8-rounded and
+    ~128-248 at production scale, so lane padding is ~0-3%, while the
+    node/z-minor orientation padded 144→256 / 96→128 lanes (the Pallas
+    contract kernel and the XLA einsums both stream these every step)."""
+
+    wxy: jax.Array   # (C, 9·sx·sy, cap) joint xy window factor (tilt-aware)
+    wz: jax.Array    # (C, Nz, cap) full-column z factor, mask folded
 
 
 def make_col_spec(
@@ -143,29 +151,29 @@ def build_col_factors(
 
     def ext_frac_delta(b, s, pf, N):
         node = (b[:, None] - 1) * s + jnp.arange(3 * s, dtype=jnp.int32)
-        fd = node[:, None, :].astype(pf.dtype) / N - (pf / N)[:, :, None]
-        return fd - jnp.round(fd)                     # (C, cap, 3s)
+        fd = node[:, :, None].astype(pf.dtype) / N - (pf / N)[:, None, :]
+        return fd - jnp.round(fd)                     # (C, 3s, cap)
 
     fdx = ext_frac_delta(bx, sx, pfx, Nx)
     fdy = ext_frac_delta(by, sy, pfy, Ny)
     # full z column: nodes 0..Nz-1, minimum-image reduced
     nodez = jnp.arange(Nz, dtype=pfz.dtype)
-    fdz = nodez[None, None, :] / Nz - (pfz / Nz)[:, :, None]
-    fdz = fdz - jnp.round(fdz)                        # (C, cap, Nz)
+    fdz = nodez[None, :, None] / Nz - (pfz / Nz)[:, None, :]
+    fdz = fdz - jnp.round(fdz)                        # (C, Nz, cap)
 
-    dyu = L[1] * fdy
+    dyu = L[1] * fdy                                  # (C, 3sy, cap)
     dz = L[2] * fdz
-    dx = (L[0] * fdx)[:, :, :, None] + box.tilt_xy * dyu[:, :, None, :]
+    dx = (L[0] * fdx)[:, :, None, :] + box.tilt_xy * dyu[:, None, :, :]
     # Factors are STORED in the matmul dtype (bf16 on TPU at error >= 1e-3):
     # both consumers cast them at the einsum anyway, so storing f32 just
     # doubled the build write + contract/spread read (wxy is 82 MB f32 at
     # bench scale).  The cast is fused into the exp fusions.
     dtype, _ = _matmul_dtype(spec)
-    wxy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, :, None, :]))
-    wz = jnp.exp(-expfac * dz * dz) * bins.mask[:, :, None]
+    wxy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, None, :, :]))
+    wz = jnp.exp(-expfac * dz * dz) * bins.mask[:, None, :]
 
     return ColFactors(
-        wxy=wxy.reshape(C, spec.bins.cap, 9 * sx * sy).astype(dtype),
+        wxy=wxy.reshape(C, 9 * sx * sy, spec.bins.cap).astype(dtype),
         wz=wz.astype(dtype),
     )
 
@@ -233,11 +241,13 @@ def spread_col(
     # X is built directly in the matmul dtype (the cast fuses into the
     # outer-product fusion — materializing f32 and casting at the einsum
     # cost a second full-size pass over 95 MB at bench scale).
+    # X[c, (k,z), p] = f[k,c,p]·wz[c,z,p] — cap-minor like the factors.
     X = (
-        f_cells.transpose(1, 2, 0)[:, :, :, None] * factors.wz[:, :, None, :]
-    ).reshape(C, cap, 3 * params.Nz).astype(dtype)
+        f_cells.transpose(1, 0, 2)[:, :, None, :]
+        * factors.wz[:, None, :, :]
+    ).reshape(C, 3 * params.Nz, cap).astype(dtype)
     out = jnp.einsum(
-        "cpn,cpm->cnm", factors.wxy.astype(dtype), X,
+        "cnp,cmp->cnm", factors.wxy.astype(dtype), X,
         preferred_element_type=jnp.float32, precision=precision,
     )                                            # (C, 9·sx·sy, 3·Nz)
     out = out * jnp.float32(params.spread_prefac)
@@ -259,19 +269,140 @@ def contract_col(
 
     v = _grid_to_windows(grid_real, spec, params, dtype)  # (C, 9sxsy, 3Nz)
     H = jnp.einsum(
-        "cpn,cnm->cpm", factors.wxy.astype(dtype), v,
+        "cnp,cnm->cmp", factors.wxy.astype(dtype), v,
         preferred_element_type=jnp.float32, precision=precision,
-    )                                                # (C, cap, 3·Nz)
+    )                                                # (C, 3·Nz, cap)
     # H is rounded to the matmul dtype before the z-contraction: its 164 MB
     # f32 write+read dominated the contract's HBM traffic, and the rounding
     # (~0.4% per element, averaged over the ~P significant z-terms) sits an
     # order below the bf16 matmul-input rounding already accepted at
     # error >= 1e-3 (pinned by test_farfield_paths).  Accumulation stays
     # f32 via preferred_element_type; full_precision keeps everything f32.
-    H = H.reshape(C, cap, 3, params.Nz).astype(dtype)
+    H = H.reshape(C, 3, params.Nz, cap).astype(dtype)
     u = jnp.einsum(
-        "cpkz,cpz->kcp", H, factors.wz,
+        "ckzp,czp->kcp", H, factors.wz,
         preferred_element_type=jnp.float32, precision=precision,
     )                                                # (3, C, cap) directly
     scale = jnp.float32(params.quadW * params.spread_prefac)
     return scale * u
+
+
+def _contract_kernel(gext_ref, wxy_ref, wz_ref, u_ref, scr_ref, *,
+                     spec: ColFfSpec, nz: int, ncx: int, ncy: int, cb: int):
+    """Grid (C // cb,): per column, assemble the 3x3 xy window from the
+    compact node grid (9 static scratch copies — the XLA path materializes
+    the 9x-duplicated window array instead), then ONE MXU dot against the
+    node-major xy factor and a masked segment dot for the z contraction.
+    Everything stays 2-D with cap on lanes; H never touches HBM."""
+    sx, sy = spec.s
+    n_nodes = 9 * sx * sy
+    g = pl.program_id(0)
+    # Segment-sum lhs: row k is 1 over lanes [k·nz, (k+1)·nz) — contracts
+    # the z axis per component on the MXU (VPU lane reductions cost ~2x).
+    seg = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * nz), 1) // nz
+    krow = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * nz), 0)
+    ones_k = jnp.where(seg == krow, 1.0, 0.0).astype(jnp.float32)
+
+    for ci in range(cb):
+        c = g * cb + ci
+        bx = jax.lax.div(c, ncy)
+        by = jax.lax.rem(c, ncy)
+        for dx in range(3):
+            xb = jax.lax.rem(bx + (dx - 1) + ncx, ncx)
+            for dy in range(3):
+                yb = jax.lax.rem(by + (dy - 1) + ncy, ncy)
+                blk = gext_ref[pl.ds(xb * ncy + yb, 1)].reshape(
+                    sx * sy, 3 * nz
+                )
+                for ix in range(sx):
+                    # window node (dx·sx+ix, dy·sy+iy) -> wxy's x-major
+                    # flat order; f32 scratch dodges the bf16 odd-offset
+                    # partial-row store hazard (sy may be odd)
+                    r0 = (dx * sx + ix) * 3 * sy + dy * sy
+                    scr_ref[r0:r0 + sy] = blk[
+                        ix * sy:(ix + 1) * sy
+                    ].astype(jnp.float32)
+        ht = jax.lax.dot_general(
+            scr_ref[:].astype(wxy_ref.dtype), wxy_ref[ci],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (3·nz, cap)
+        wzc = wz_ref[ci].astype(jnp.float32)           # (nz, cap)
+        e = ht * jnp.concatenate([wzc, wzc, wzc], axis=0)
+        u_ref[ci] = jax.lax.dot_general(
+            ones_k, e,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (3, cap)
+
+
+@partial(jax.jit, static_argnames=("spec", "params", "interpret"))
+def contract_col_pallas(
+    grid_real: jax.Array,        # (3, Nx, Ny, Nz)
+    spec: ColFfSpec,
+    params: PSEParams,
+    factors: ColFactors,
+    interpret: bool = False,
+) -> jax.Array:
+    """TPU production contract: same quadrature as contract_col with the
+    H intermediate kept in VMEM (its HBM write+read was ~40% of the XLA
+    contract's traffic) and the 9x window duplication replaced by
+    in-kernel scratch assembly from the COMPACT node grid (the XLA path's
+    window build cost ~0.45 ms/step at bench scale).  bf16-grade like the
+    XLA path at error >= 1e-3 (H rounds to bf16 entering the z dot)."""
+    sx, sy = spec.s
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    cap = spec.bins.cap
+    Nz = params.Nz
+    n_nodes = 9 * sx * sy
+    dtype, _ = _matmul_dtype(spec)
+
+    # Compact per-column node grid, window-node-major, (k, z) on lanes —
+    # ONE relayout of the 10.6 MB grid instead of the 9x-duplicated
+    # (C, 144, 3Nz) window array.
+    gc = grid_real.astype(dtype).reshape(3, ncx, sx, ncy, sy, Nz)
+    gext = gc.transpose(1, 3, 2, 4, 0, 5).reshape(C, sx * sy, 3 * Nz)
+
+    cb = next((d for d in (8, 6, 4, 3, 2) if C % d == 0), 1)
+    kernel = partial(_contract_kernel, spec=spec, nz=Nz, ncx=ncx, ncy=ncy,
+                     cb=cb)
+    u = pl.pallas_call(
+        kernel,
+        grid=(C // cb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # gext (whole, ~28 MB)
+            pl.BlockSpec((cb, n_nodes, cap), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),    # wxy (node-major)
+            pl.BlockSpec((cb, Nz, cap), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),    # wz
+        ],
+        out_specs=pl.BlockSpec((cb, 3, cap), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, 3, cap), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_nodes, 3 * Nz), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(gext, factors.wxy, factors.wz)
+
+    scale = jnp.float32(params.quadW * params.spread_prefac)
+    return scale * u.transpose(1, 0, 2)               # (3, C, cap)
+
+
+def contract_col_auto(
+    bins: CellBins,
+    grid_real: jax.Array,
+    box: Box,
+    spec: ColFfSpec,
+    params: PSEParams,
+    factors: ColFactors,
+) -> jax.Array:
+    """Dispatch: fused Pallas contract on TPU at bf16 (production), the
+    XLA einsum path otherwise (full_precision f32, CPU, fallbacks)."""
+    if (jax.default_backend() == "tpu" and not spec.full_precision
+            and jnp.dtype(spec.weight_dtype) == jnp.bfloat16):
+        return contract_col_pallas(grid_real, spec, params, factors)
+    return contract_col(bins, grid_real, box, spec, params, factors)

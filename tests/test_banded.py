@@ -299,6 +299,88 @@ def test_banded_build_mv_fused_interpret():
     assert _rel(u_f, u) < 1e-6
 
 
+def test_banded_class_packed_interpret():
+    """Occupancy-class packed kernels (spec.classes) give the same result
+    as the reference path: the packed build_mv / matvec launch one kernel
+    per class over need-sorted columns with the all-pad tail tiles
+    dropped, which must be EXACT (those tiles hold identically-zero A)."""
+    from pse_tpu.box import make_box
+    from pse_tpu.cellbins import bin_columns, vec_to_cells
+    from pse_tpu.ops import banded_nearfield as bdn
+
+    rng = np.random.default_rng(31)
+    n, L = 1080, 24.0
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    forces = rng.normal(size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg = integrator.make_config(params, n, thermal=False, engine="banded",
+                                 block_dtype="float32")
+    bs0 = cfg.band_spec
+    t_cap = bs0.bins.cap // bs0.rows
+    C = bs0.bins.n_cells[0] * bs0.bins.n_cells[1]
+    # manual 2-class split (the chooser wants larger C): most columns one
+    # tile short of the cap — exercises packing, tail-zeroing, and the
+    # packed->actual permutation on a column set with varying need
+    bs = bs0._replace(classes=((t_cap - 1, C - 2), (t_cap, 2)))
+    cheb, p = cfg.cheb, cfg.params
+    box = make_box(p.L, 0.07)
+    bins = bin_columns(jnp.asarray(pos), box, bs.bins)
+    j0, nv, ovf, zsh = bdn.compute_windows(bins, bs, box, p.ewald_cut)
+    assert not bool(ovf)
+    perm, inv, c_ovf = bdn.class_assignment(bs, nv)
+    assert not bool(c_ovf)
+    own_full = bdn.make_own_pos(bins, bs)
+    own_pos = tuple(
+        jnp.take(own_full, perm[off:off + ck], axis=0)
+        for (tk, ck, off) in bdn.class_segments(bs)
+    )
+    f_cells = vec_to_cells(bins, bs.bins, jnp.asarray(forces))
+
+    u_ref = bdn.matvec_banded_reference(
+        bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
+        f_cells, p.self_mobility,
+    )
+    blocks, pos_cyc, u_bmv = bdn.build_mv_banded(
+        bins, box.tilt_xy, bs, cheb, p.L, p.ewald_cut, p.ewald_dr, j0, nv,
+        zsh, own_pos, f_cells, p.self_mobility, interpret=True,
+        pack=(perm, inv),
+    )
+    assert isinstance(blocks, tuple) and len(blocks) == 2
+    assert _rel(u_bmv, u_ref) < 2e-6
+    u_mv = bdn.matvec_banded(
+        blocks, pos_cyc, own_pos, j0, nv, zsh, bs, f_cells,
+        p.self_mobility, p.L, interpret=True, pack=(perm, inv),
+    )
+    assert _rel(u_mv, u_ref) < 2e-6
+
+
+def test_banded_class_assignment_overflow():
+    """Class-capacity overflow must flag (sticky -> grow_config drops to a
+    single class) when more columns need the top tile count than it holds."""
+    from pse_tpu.ops import banded_nearfield as bdn
+    from pse_tpu.cellbins import BinSpec
+
+    spec = bdn.BandSpec(
+        bins=BinSpec(n_cells=(4, 4, 1), cap=128), offsets=bdn.full_xy_offsets(),
+        window=64, rows=32, classes=((1, 15), (4, 1)),
+    )
+    nv = jnp.full((16,), 100, jnp.int32)      # every column needs 4 tiles
+    _, _, ovf = bdn.class_assignment(spec, nv)
+    assert bool(ovf)
+    nv = nv.at[1:].set(20)                    # one heavy column fits class 2
+    perm, inv, ovf = bdn.class_assignment(spec, nv)
+    assert not bool(ovf)
+    assert int(perm[0]) == 0                  # heaviest column packs first
+    assert bool((perm[inv] == jnp.arange(16)).all())
+    cfg_like = integrator.grow_config(
+        integrator.make_config(pse.make_params(xi=0.5, error=1e-3, L=24.0),
+                               1080, thermal=False, engine="banded"),
+        flags=integrator.OVF_CLASS,
+    )
+    assert (cfg_like.band_spec is None
+            or cfg_like.band_spec.classes is None)
+
+
 def test_banded_fused_forces_step_linearity():
     """The fused thermal+forces step (M·F riding the first Lanczos matvec)
     must contribute exactly U = M·F on top of the zero-forces step: same

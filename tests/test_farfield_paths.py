@@ -136,6 +136,40 @@ def test_column_bf16_grade():
     assert err < 4e-3, f"bf16 contract rms error {err:.2e}"
 
 
+def test_contract_col_pallas_matches_xla():
+    """The fused Pallas contract (in-kernel window assembly + VMEM-resident
+    H — the TPU production path) must agree with the XLA einsum path it
+    replaces: same quadrature, same bf16 rounding points, so f32 factors
+    agree to round-off and bf16 factors to bf16 grade.  Interpret mode."""
+    pos, params, _, rng = _setup(seed=7)
+    spec = cff.make_col_spec(params, pos.shape[0], "float32")
+    assert spec is not None
+    L = params.L
+    box = Box(jnp.asarray(L, jnp.float32), jnp.asarray(0.3, jnp.float32))
+    bins = bin_particles(jnp.asarray(pos), box, spec.bins)
+    gv = jnp.asarray(
+        rng.normal(size=(3, params.Nx, params.Ny, params.Nz)).astype(np.float32)
+    )
+    fac = cff.build_col_factors(bins, box, spec, params)
+    u_xla = cff.contract_col(bins, gv, box, spec, params, fac)
+    u_pal = cff.contract_col_pallas(gv, spec, params, fac, interpret=True)
+    scale = float(jnp.max(jnp.abs(u_xla)))
+    np.testing.assert_allclose(
+        np.asarray(u_pal), np.asarray(u_xla), atol=2e-5 * scale
+    )
+
+    spec16 = spec._replace(weight_dtype="bfloat16")
+    fac16 = cff.build_col_factors(bins, box, spec16, params)
+    u_xla16 = cff.contract_col(bins, gv, box, spec16, params, fac16)
+    u_pal16 = cff.contract_col_pallas(gv, spec16, params, fac16,
+                                      interpret=True)
+    # both round H to bf16 entering the z contraction; the remaining
+    # difference is dot-tiling order at bf16 grade
+    np.testing.assert_allclose(
+        np.asarray(u_pal16), np.asarray(u_xla16), atol=4e-3 * scale
+    )
+
+
 def test_column_is_default_ff_path():
     """make_config wires the z-column far field for banded/blocked engines;
     end-to-end U = M·F agrees with the stored-W fallback."""

@@ -57,7 +57,7 @@ def main():
     params = pse.make_params(xi=args.xi, error=1e-3, L=L)
     config = integrator.make_config(
         params, n, thermal=True, seed=1, engine=args.engine,
-        has_forces=args.forces,
+        has_forces=args.forces, positions=pos,
     )
     state = integrator.make_state(pos)
     forces = (
