@@ -241,6 +241,49 @@ def tpu_correctness_check(rel_tol=2e-3):
             f"rel err {err:.3e} > 1e-4"
         )
 
+    # (e) fused Pallas far-field contract vs the XLA einsum path — the
+    # banded-vs-blocked checks above CANNOT catch a far-field kernel bug
+    # (both engines share the far field), so the two contract
+    # implementations are compared directly on hardware.  Both round H to
+    # bf16 entering the z contraction; the residual is dot-tiling order.
+    from pse_tpu.box import make_box
+    from pse_tpu.cellbins import bin_particles
+    from pse_tpu.ops import column_farfield as cff
+
+    spec_c = cfg_b.colff_spec
+    assert spec_c is not None and jnp.dtype(spec_c.weight_dtype) == jnp.bfloat16
+    box_c = make_box(params.L, 0.25)
+    bins_c = bin_particles(jnp.asarray(pos), box_c, spec_c.bins)
+    fac = cff.build_col_factors(bins_c, box_c, spec_c, params)
+    gv = jnp.asarray(
+        np.random.default_rng(3).normal(
+            size=(3, params.Nx, params.Ny, params.Nz)
+        ).astype(np.float32)
+    )
+    u_x = cff.contract_col(bins_c, gv, box_c, spec_c, params, fac)
+    u_p = cff.contract_col_pallas(gv, spec_c, params, fac)
+    err = float(jnp.max(jnp.abs(u_p - u_x)) / jnp.max(jnp.abs(u_x)))
+    print(f"# tpu correctness [ff contract]: pallas vs xla rel err "
+          f"{err:.2e} (tol 5e-3)", file=sys.stderr)
+    if not err < 5e-3:
+        raise AssertionError(
+            f"Pallas far-field contract disagrees with the XLA path on "
+            f"TPU: rel err {err:.3e} > 5e-3"
+        )
+    from pse_tpu.cellbins import vec_to_cells
+
+    fc = vec_to_cells(bins_c, spec_c.bins, jnp.asarray(forces))
+    g_x = cff.spread_col(bins_c, fc, box_c, spec_c, params, fac)
+    g_p = cff.spread_col_pallas(fc, spec_c, params, fac)
+    err = float(jnp.max(jnp.abs(g_p - g_x)) / jnp.max(jnp.abs(g_x)))
+    print(f"# tpu correctness [ff spread]: pallas vs xla rel err "
+          f"{err:.2e} (tol 5e-3)", file=sys.stderr)
+    if not err < 5e-3:
+        raise AssertionError(
+            f"Pallas far-field spread disagrees with the XLA path on "
+            f"TPU: rel err {err:.3e} > 5e-3"
+        )
+
 
 def sweep_residual(xi, n=5000, phi=0.45, rel_tol=2e-3):
     """Small-N banded-vs-blocked residual at a sweep point's OWN ξ/geometry

@@ -375,13 +375,13 @@ class Simulation:
                         else snapshot.pos[self._group]
                     )
                     bs = self.config.band_spec
-                    needs = bdn.measure_col_needs(
+                    counts = bdn.measure_col_counts(
                         bs, pos_h, self.config.params.L
                     )
                     self.config = dataclasses.replace(
                         self.config,
                         band_spec=bdn.make_band_classes(
-                            bs, pos_h.shape[0], needs
+                            bs, pos_h.shape[0], counts
                         ),
                     )
                 self.state = snapshot

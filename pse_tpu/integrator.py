@@ -190,10 +190,10 @@ def make_config(
         if shard_slabs == 1:
             # Occupancy-class packed A (the halo engine keeps one class:
             # its per-shard column sets make class capacities shard-local)
-            needs = None
+            counts = None
             if positions is not None and band_spec is not None:
-                needs = bdn.measure_col_needs(band_spec, positions, params.L)
-            band_spec = bdn.make_band_classes(band_spec, n_particles, needs)
+                counts = bdn.measure_col_counts(band_spec, positions, params.L)
+            band_spec = bdn.make_band_classes(band_spec, n_particles, counts)
         if ff_spec is None or band_spec is None:
             engine = "blocked"                 # geometry too small to band
             ff_spec = band_spec = None
@@ -425,7 +425,7 @@ def _ff_spread(config, ctx, box, forces):
     if config.colff_spec is not None:
         spec = config.colff_spec
         f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
-        return cff.spread_col(
+        return cff.spread_col_auto(
             ctx.ff_bins, f_cells, box, spec, config.params, ctx.ff_weights
         )
     spec = config.ff_spec

@@ -171,9 +171,9 @@ def make_band_spec(
     )
 
 
-def measure_col_needs(spec: BandSpec, pos, L) -> "np.ndarray":
-    """Measured per-column tile need ceil(n_valid/rows) — host-side numpy
-    (no device round trip; used at CONFIG time to size occupancy classes).
+def measure_col_counts(spec: BandSpec, pos, L) -> "np.ndarray":
+    """Measured per-column occupancy — host-side numpy (no device round
+    trip; used at CONFIG time to size occupancy classes).
 
     Uses the untilted column map (tilt at config time is ~always 0, and the
     chooser's capacity slack absorbs the small reassignment a tilt causes).
@@ -187,12 +187,11 @@ def measure_col_needs(spec: BandSpec, pos, L) -> "np.ndarray":
     fy = np.mod(p[:, 1] / L[1] + 0.5, 1.0)
     cx = np.clip((fx * ncx).astype(np.int64), 0, ncx - 1)
     cy = np.clip((fy * ncy).astype(np.int64), 0, ncy - 1)
-    counts = np.bincount(cx * ncy + cy, minlength=ncx * ncy)
-    return -(-np.maximum(counts, 1) // spec.rows)
+    return np.bincount(cx * ncy + cy, minlength=ncx * ncy)
 
 
 def make_band_classes(
-    spec: BandSpec | None, n_particles: int, col_needs=None
+    spec: BandSpec | None, n_particles: int, col_counts=None
 ) -> BandSpec | None:
     """Choose occupancy classes for the packed kernels (or leave spec as-is).
 
@@ -200,15 +199,18 @@ def make_band_classes(
     ceil(n_valid/rows) hold identically-zero A — streaming and evaluating
     them is pure waste (~17% at bench scale).
 
-    ``col_needs``: measured per-column tile needs (numpy ints).  Real
+    ``col_counts``: measured per-column occupancy (numpy ints).  Real
     workloads (the bench's vacancy-diluted lattice, any structured density)
     have column-occupancy spreads far beyond Poisson (measured std 78 vs
     Poisson 21.5 at bench scale — lattice-to-column aliasing), so when a
     measurement is available the thresholds/capacities come from it
-    (brute-force over ≤4 classes, capacities m·1.15+5).  Without one, a
-    Poisson model sizes conservative 3-class capacities.  Either way,
-    per-step assignment overflow is sticky (OVF_CLASS) and the regrow path
-    re-measures or drops to a single class.
+    (brute-force over ≤4 classes).  Capacities count columns within HALF A
+    ROW TILE of a need boundary as already crossed: occupancy random-walks
+    ~±(R/2) per few-hundred Brownian steps, and the first measured-class
+    run overflowed in exactly 100 steps without this drift margin.  Without
+    a measurement, a Poisson model sizes conservative 3-class capacities.
+    Either way, per-step assignment overflow is sticky (OVF_CLASS) and the
+    regrow path re-measures or drops to a single class.
     """
     import numpy as np
 
@@ -222,16 +224,15 @@ def make_band_classes(
     if C < 32 or t_cap < 6 or mu < 64:
         return spec
 
-    if col_needs is not None:
-        needs = np.asarray(col_needs, np.int64)
+    if col_counts is not None:
+        counts = np.asarray(col_counts, np.int64)
+        needs = -(-np.maximum(counts, 1) // R)
+        soft = np.minimum(-(-(np.maximum(counts, 1) + R // 2) // R), t_cap)
         if needs.shape[0] != C or needs.max() > t_cap:
             return spec
 
-        def m_gt(t):                   # measured columns needing > t tiles
-            return int((needs > t).sum())
-
-        def cap_gt(t):                 # capacity above t: +15% and +5 slack
-            return min(C, int(math.ceil(m_gt(t) * 1.15 + 5.0)))
+        def cap_gt(t):                 # capacity above t: drift + 10% + 5
+            return min(C, int(math.ceil(int((soft > t).sum()) * 1.10 + 5.0)))
 
         cand_ts = sorted({int(t) for t in needs if t < t_cap})
         best = None

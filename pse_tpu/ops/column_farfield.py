@@ -392,6 +392,84 @@ def contract_col_pallas(
     return scale * u.transpose(1, 0, 2)               # (3, C, cap)
 
 
+def _spread_kernel(f_ref, wxy_ref, wz_ref, out_ref, *, nz: int, cb: int):
+    """Grid (C // cb,): out_c = wxy_c · (f_c ⊗ wz_c)ᵀ with the force-moment
+    operand X built in VMEM (the XLA path materializes it to HBM)."""
+    for ci in range(cb):
+        # f32 product, rounded ONCE to the matmul dtype — the same
+        # rounding point as the XLA path's X materialization
+        wzc = wz_ref[ci].astype(jnp.float32)           # (nz, cap)
+        segs = [wzc * f_ref[ci, k:k + 1] for k in range(3)]
+        x = jnp.concatenate(segs, axis=0).astype(wxy_ref.dtype)
+        out_ref[ci] = jax.lax.dot_general(
+            wxy_ref[ci], x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (n_nodes, 3·nz)
+
+
+@partial(jax.jit, static_argnames=("spec", "params", "interpret"))
+def spread_col_pallas(
+    f_cells: jax.Array,          # (3, C, cap) — padded slots zero
+    spec: ColFfSpec,
+    params: PSEParams,
+    factors: ColFactors,
+    interpret: bool = False,
+) -> jax.Array:
+    """TPU production spread: per-column window moments via one fused MXU
+    dot (X = f ⊗ wz never touches HBM), then the XLA overlap-add fold
+    (_windows_to_grid) unchanged.  Same quadrature and rounding points as
+    spread_col at bf16."""
+    sx, sy = spec.s
+    ncx, ncy, _ = spec.bins.n_cells
+    C = ncx * ncy
+    cap = spec.bins.cap
+    Nz = params.Nz
+    n_nodes = 9 * sx * sy
+
+    cb = next((d for d in (8, 6, 4, 3, 2) if C % d == 0), 1)
+    kernel = partial(_spread_kernel, nz=Nz, cb=cb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(C // cb,),
+        in_specs=[
+            pl.BlockSpec((cb, 3, cap), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),    # forces (slot layout)
+            pl.BlockSpec((cb, n_nodes, cap), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),    # wxy (node-major)
+            pl.BlockSpec((cb, Nz, cap), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),    # wz
+        ],
+        out_specs=pl.BlockSpec((cb, n_nodes, 3 * Nz), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_nodes, 3 * Nz), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(f_cells.transpose(1, 0, 2).astype(jnp.float32), factors.wxy,
+      factors.wz)
+
+    out = out * jnp.float32(params.spread_prefac)
+    return _windows_to_grid(out, spec, params)
+
+
+def spread_col_auto(
+    bins: CellBins,
+    f_cells: jax.Array,
+    box: Box,
+    spec: ColFfSpec,
+    params: PSEParams,
+    factors: ColFactors,
+) -> jax.Array:
+    """Dispatch: fused Pallas spread on TPU at bf16, XLA path otherwise."""
+    if (jax.default_backend() == "tpu" and not spec.full_precision
+            and jnp.dtype(spec.weight_dtype) == jnp.bfloat16):
+        return spread_col_pallas(f_cells, spec, params, factors)
+    return spread_col(bins, f_cells, box, spec, params, factors)
+
+
 def contract_col_auto(
     bins: CellBins,
     grid_real: jax.Array,

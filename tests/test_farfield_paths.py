@@ -170,6 +170,36 @@ def test_contract_col_pallas_matches_xla():
     )
 
 
+def test_spread_col_pallas_matches_xla():
+    """The fused Pallas spread (X = f ⊗ wz kept in VMEM) must agree with
+    the XLA einsum path: identical quadrature, X never rounded differently
+    (both build it in the matmul dtype).  Interpret mode."""
+    pos, params, _, rng = _setup(seed=13)
+    spec = cff.make_col_spec(params, pos.shape[0], "float32")
+    assert spec is not None
+    L = params.L
+    box = Box(jnp.asarray(L, jnp.float32), jnp.asarray(-0.2, jnp.float32))
+    bins = bin_particles(jnp.asarray(pos), box, spec.bins)
+    f = rng.normal(size=(pos.shape[0], 3)).astype(np.float32)
+    f_cells = vec_to_cells(bins, spec.bins, jnp.asarray(f))
+    fac = cff.build_col_factors(bins, box, spec, params)
+    g_xla = cff.spread_col(bins, f_cells, box, spec, params, fac)
+    g_pal = cff.spread_col_pallas(f_cells, spec, params, fac, interpret=True)
+    scale = float(jnp.max(jnp.abs(g_xla)))
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_xla), atol=2e-5 * scale
+    )
+
+    spec16 = spec._replace(weight_dtype="bfloat16")
+    fac16 = cff.build_col_factors(bins, box, spec16, params)
+    g_xla16 = cff.spread_col(bins, f_cells, box, spec16, params, fac16)
+    g_pal16 = cff.spread_col_pallas(f_cells, spec16, params, fac16,
+                                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(g_pal16), np.asarray(g_xla16), atol=4e-3 * scale
+    )
+
+
 def test_column_is_default_ff_path():
     """make_config wires the z-column far field for banded/blocked engines;
     end-to-end U = M·F agrees with the stored-W fallback."""
