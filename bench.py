@@ -51,7 +51,10 @@ def make_positions(n, phi, seed=0):
 
 
 def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
-              n_steps=400, chunk=100, seed=0, engine="banded"):
+              n_steps=400, chunk=200, seed=0, engine="banded"):
+    """chunk=200: the axon tunnel costs ~50-80 ms idle per DISPATCH, so a
+    100-step chunk leaves ~0.5-0.8 ms/step of wall-vs-device gap (measured:
+    11.95 ms device vs 12.76 wall at chunk=100); 200 halves it."""
     import jax
     import jax.numpy as jnp
     import pse_tpu as pse
@@ -64,7 +67,7 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
     params = pse.make_params(xi=xi, error=1e-3, L=L)
     config = integrator.make_config(
         params, n, thermal=True, seed=1, engine=engine,
-        has_forces=has_forces, positions=pos,
+        has_forces=has_forces,
     )
     state = integrator.make_state(pos)
     rng = np.random.default_rng(seed + 1)
@@ -87,6 +90,43 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
             final, _ = jax.lax.scan(body, state, None, length=chunk)
             return final
         return run_chunk
+
+    if engine == "banded" and config.band_spec is not None:
+        # The initial lattice MELTS toward uniform over the first few
+        # hundred steps (tools/diag_classes.py: count-drift rms 26 after
+        # 25 steps), so occupancy classes sized at t=0 overflow mid-run.
+        # Deterministic 2-compile flow instead of overflow-retry roulette:
+        # relax on the (always-safe) single-class program first, then size
+        # the classes from the RELAXED histogram and compile the packed
+        # program that gets timed.
+        import dataclasses
+
+        if config.band_spec.classes is not None:
+            config = dataclasses.replace(
+                config,
+                band_spec=config.band_spec._replace(classes=None),
+            )
+        run_chunk = make_chunk(config)
+        state = run_chunk(state)
+        relaxed = np.asarray(state.pos)
+        if bool(state.nbr_overflow):
+            flags = int(state.nbr_overflow)
+            config = integrator.grow_config(config, flags=flags)
+            print(f"# relaxation overflow at xi={xi} (mask={flags:#x}): "
+                  "grew spec", file=sys.stderr)
+            state = integrator.make_state(pos)
+        else:
+            from pse_tpu.ops import banded_nearfield as bdn
+
+            bs = config.band_spec
+            counts = bdn.measure_col_counts(bs, relaxed, params.L)
+            config = dataclasses.replace(
+                config,
+                band_spec=bdn.make_band_classes(bs, n, counts),
+            )
+            print(f"# occupancy classes (from {chunk}-step relaxed "
+                  f"histogram): {config.band_spec.classes}", file=sys.stderr)
+            state = integrator.make_state(relaxed)
 
     run_chunk = make_chunk(config)
     n_chunks = max(1, n_steps // chunk)
@@ -111,7 +151,28 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
         # some xi; grow like Simulation.run (fresh compile per retry), only
         # the capacities the overflow mask names
         flags = int(state.nbr_overflow)
+        melted = np.asarray(state.pos)
         config = integrator.grow_config(config, flags=flags)
+        if (flags == integrator.OVF_CLASS and grow < 2
+                and config.band_spec is not None):
+            # Pure occupancy-class overflow: the density pattern RELAXED
+            # away from the histogram the classes were sized on (the
+            # lattice melts within ~50 steps, measured in
+            # tools/diag_classes.py).  Re-measure from the relaxed
+            # positions and CONTINUE from them — rewinding to the lattice
+            # would just melt past the new classes again.  After 2 tries
+            # grow_config's single-class fallback stands.
+            import dataclasses
+
+            from pse_tpu.ops import banded_nearfield as bdn
+
+            bs = config.band_spec
+            counts = bdn.measure_col_counts(bs, melted, params.L)
+            config = dataclasses.replace(
+                config,
+                band_spec=bdn.make_band_classes(bs, n, counts),
+            )
+            pos = melted
         state = integrator.make_state(pos)
         run_chunk = make_chunk(config)
         print(f"# capacity overflow at xi={xi} in {phase} (mask={flags:#x}): "

@@ -224,6 +224,13 @@ def make_band_classes(
     if C < 32 or t_cap < 6 or mu < 64:
         return spec
 
+    sigma = math.sqrt(mu)
+
+    def pois_le(t):                    # P(ceil(nv/R) <= t) = P(nv <= t*R)
+        return 0.5 * (1.0 + math.erf(
+            (t * R + 0.5 - mu) / (sigma * math.sqrt(2.0))
+        ))
+
     if col_counts is not None:
         counts = np.asarray(col_counts, np.int64)
         needs = -(-np.maximum(counts, 1) // R)
@@ -231,8 +238,19 @@ def make_band_classes(
         if needs.shape[0] != C or needs.max() > t_cap:
             return spec
 
-        def cap_gt(t):                 # capacity above t: drift + 10% + 5
-            return min(C, int(math.ceil(int((soft > t).sum()) * 1.10 + 5.0)))
+        def cap_gt(t):
+            # Capacity above t: measured histogram with an R/2 crossing
+            # margin plus a 2.5·sqrt(m)+8 excursion margin.  Column headroom
+            # is cheap (one tile per column moved up); these margins hold
+            # ~O(100) steps of drift.  A STRUCTURED initial density (the
+            # bench lattice) MELTS much faster than independent-particle
+            # exchange (measured count-drift rms 26 after 25 steps) — no
+            # static capacity covers both the initial and the relaxed
+            # histogram without losing most of the packing, so overflow is
+            # handled by RE-MEASURING from current positions (Simulation.run
+            # and bench.py both do) rather than by union-sizing here.
+            m = int((soft > t).sum())
+            return min(C, int(math.ceil(m + 2.5 * math.sqrt(max(m, 1.0)) + 8.0)))
 
         cand_ts = sorted({int(t) for t in needs if t < t_cap})
         best = None
@@ -263,11 +281,6 @@ def make_band_classes(
             return spec
         return spec._replace(classes=best[1])
 
-    sigma = math.sqrt(mu)
-
-    def p_le(t):                       # P(ceil(nv/R) <= t) = P(nv <= t*R)
-        return 0.5 * (1.0 + math.erf((t * R + 0.5 - mu) / (sigma * math.sqrt(2.0))))
-
     def cap_frac(p_gt):                # capacity ABOVE a class: 5σ + 2% slack
         return p_gt + 5.0 * math.sqrt(max(p_gt * (1.0 - p_gt), 1e-9) / C) + 0.02
 
@@ -275,8 +288,8 @@ def make_band_classes(
     t2 = t1 + 1
     if t2 >= t_cap:
         return spec
-    c3 = min(C, int(math.ceil(C * cap_frac(1.0 - p_le(t2)))))
-    c23 = min(C, int(math.ceil(C * cap_frac(1.0 - p_le(t1)))))
+    c3 = min(C, int(math.ceil(C * cap_frac(1.0 - pois_le(t2)))))
+    c23 = min(C, int(math.ceil(C * cap_frac(1.0 - pois_le(t1)))))
     c2 = max(c23 - c3, 0)
     c1 = C - c3 - c2
     if c1 <= 0:

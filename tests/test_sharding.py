@@ -18,6 +18,16 @@ from pse_tpu import integrator
 from pse_tpu.parallel import sharding as sh
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    """The GSPMD step is the suite's biggest XLA:CPU compile; after ~100
+    accumulated jit programs the compiler segfaulted here twice (full-suite
+    runs only — isolation passes).  Dropping the caches bounds compiler RSS
+    before these compiles."""
+    jax.clear_caches()
+    yield
+
+
 def _problem(engine, thermal=True, n_side=8, L=24.0, tilt=0.03, seed=0):
     n = n_side ** 3
     rng = np.random.default_rng(seed)
