@@ -51,6 +51,7 @@ def main():
         n_side = round(n ** (1 / 3))
         pos = pse.create_lattice(n_side, L)[:n]
         pos = (pos + rng.normal(scale=0.1, size=pos.shape)).astype(np.float32)
+        n = pos.shape[0]          # n_side^3 may fall short of the request
     else:
         pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
 
