@@ -12,11 +12,11 @@ the physically meaningful φ=0.45 configuration).  Two workloads are measured:
                    near-field M·F on top of the Brownian machinery.
 
 Steps run as device-side lax.scan chunks (launch overhead amortized, like
-Simulation.run).  Chunk length 100: each dispatch over the axon tunnel costs
-~16 ms of host-side gap regardless of chunk size (measured: wall-vs-xprof
-device time at chunk 25/50), so 25-step chunks inflated the per-step wall by
-~2 ms over the 13.98 ms device step — production runs scan longer, the bench
-should too.  Prints ONE JSON line (the brownian headline, metric
+Simulation.run).  Chunk length 200 (run_bench default): each dispatch over
+the axon tunnel costs ~50-80 ms of host-side gap regardless of chunk size
+(measured: wall-vs-xprof device time at chunk 25/50/100), so short chunks
+inflate the per-step wall — production runs scan longer, the bench should
+too; see run_bench's docstring.  Prints ONE JSON line (the brownian headline, metric
 continuity with round 1); the full breakdown, including the with-forces
 number and an optional ξ sweep (--sweep; each ξ is a fresh ~10 min TPU
 compile), goes to stderr and BENCH_DETAILS.json.

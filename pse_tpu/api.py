@@ -376,7 +376,8 @@ class Simulation:
                     )
                     bs = self.config.band_spec
                     counts = bdn.measure_col_counts(
-                        bs, pos_h, self.config.params.L
+                        bs, pos_h, self.config.params.L,
+                        tilt=float(np.asarray(snapshot.tilt_xy)),
                     )
                     self.config = dataclasses.replace(
                         self.config,

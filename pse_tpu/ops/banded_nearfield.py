@@ -171,19 +171,21 @@ def make_band_spec(
     )
 
 
-def measure_col_counts(spec: BandSpec, pos, L) -> "np.ndarray":
+def measure_col_counts(spec: BandSpec, pos, L, tilt=0.0) -> "np.ndarray":
     """Measured per-column occupancy — host-side numpy (no device round
     trip; used at CONFIG time to size occupancy classes).
 
-    Uses the untilted column map (tilt at config time is ~always 0, and the
-    chooser's capacity slack absorbs the small reassignment a tilt causes).
+    ``tilt``: the box xy-tilt at measurement time.  Config-time calls leave
+    it 0; the OVF_CLASS regrow path re-measures MID-RUN from current
+    positions, where a sheared box misassigns columns near the x seam
+    unless the tilt enters the fractional map (box.make_fraction parity).
     """
     import numpy as np
 
     ncx, ncy, _ = spec.bins.n_cells
     L = tuple(float(x) for x in L)
     p = np.asarray(pos, np.float64)
-    fx = np.mod(p[:, 0] / L[0] + 0.5, 1.0)
+    fx = np.mod((p[:, 0] - float(tilt) * p[:, 1]) / L[0] + 0.5, 1.0)
     fy = np.mod(p[:, 1] / L[1] + 0.5, 1.0)
     cx = np.clip((fx * ncx).astype(np.int64), 0, ncx - 1)
     cy = np.clip((fy * ncy).astype(np.int64), 0, ncy - 1)

@@ -348,8 +348,12 @@ def contract_col_pallas(
     H intermediate kept in VMEM (its HBM write+read was ~40% of the XLA
     contract's traffic) and the 9x window duplication replaced by
     in-kernel scratch assembly from the COMPACT node grid (the XLA path's
-    window build cost ~0.45 ms/step at bench scale).  bf16-grade like the
-    XLA path at error >= 1e-3 (H rounds to bf16 entering the z dot)."""
+    window build cost ~0.45 ms/step at bench scale).  Rounding points
+    differ from the XLA path: the XLA contract rounds H to bf16 entering
+    the z dot, while this kernel keeps ht/e and the z contraction in f32 —
+    the kernel is the MORE accurate of the two, so the pallas-vs-XLA gate
+    tolerance (5e-3) bounds their combined bf16-weight rounding, not a
+    shared rounding point."""
     sx, sy = spec.s
     ncx, ncy, _ = spec.bins.n_cells
     C = ncx * ncy

@@ -13,7 +13,9 @@ import sys
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAILS.json"
     with open(path) as f:
-        rows = json.load(f)
+        data = json.load(f)
+    # r4 schema: {chip, north_star_chip, results: [...]}; pre-r4: bare list.
+    rows = data.get("results", data) if isinstance(data, dict) else data
     print("| workload | ξ | grid | rcut | engine | m | p-steps/s | vs 1e7 |")
     print("|---|---|---|---|---|---|---|---|")
     for r in rows:
