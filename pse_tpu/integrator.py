@@ -54,6 +54,18 @@ from .ops.chebyshev import ChebPair, fit_pair_functions
 # grow_config enlarges only that one (a band-window overflow must not also
 # double m_max, and a cell-cap overflow must not widen the band window —
 # window growth doubles the A stream, the step's dominant cost).
+# Lanczos m shrink probe period: the warm-start floor runs >= m_start
+# iterations, so m alone is a RATCHET (the reference has the same one-way
+# behavior, Brownian.cu:604-736) — one transient spike makes every later
+# step pay the spiked iteration count (~1.33 ms/iteration at bench scale).
+# Every K-th step passes m_start-1 instead: if the convergence test passes
+# one iteration earlier, the persisted m drops (and can keep dropping on
+# later probes); if not, the step runs the same matvec count as before and
+# only pays one extra ~0.15 ms tridiagonal assembly.  K=16 bounds the
+# average probe cost at ~0.01 ms/step and the shrink latency at 16 steps
+# per level.
+M_SHRINK_PERIOD = 16
+
 OVF_NF = 1        # near-field cell/column capacity
 OVF_BAND = 2      # banded window width
 OVF_FF = 4        # far-field cell capacity
@@ -856,11 +868,15 @@ def step_impl(
                     # engines without a multi-RHS matvec (gather/blocked)
                     u = u + eng.mreal_particles(ctx, forces)
         with jax.named_scope("pse_lanczos"):
+            # Shrink probe (see M_SHRINK_PERIOD): every K-th step starts
+            # the convergence test one iteration early so the persisted m
+            # can DECREASE after a transient spike.
+            probe = (state.step % M_SHRINK_PERIOD == 0).astype(jnp.int32)
             u_sqrt, m_used, hit_cap = lanczos.sqrt_mreal(
                 lambda vt: eng.mreal_t(ctx, vt),
                 psi,
                 p.error,
-                state.m_lanczos,
+                jnp.maximum(state.m_lanczos - probe, 2),
                 config.m_max,
                 w0=w0,
             )

@@ -754,7 +754,7 @@ def _build_kernel(
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     for t in range(T):
         sl = slice(t * R, (t + 1) * R)
-        own8 = own_ref[0, t]                                  # (R, 8)
+        own8 = own_ref[0, :, t * 8:(t + 1) * 8]               # (R, 8)
         xi = own8[:, 0:1]
         yi = own8[:, 1:2]
         zi = own8[:, 2:3]
@@ -839,11 +839,11 @@ def build_banded_blocks(
     posm = jnp.stack([bins.px, bins.py, bins.pz, bins.mask], axis=0)
     sext = _sext_of(spec)
     posm_pad = jnp.pad(posm, ((0, 0), (0, 0), (0, sext - S)))
-    # Own rows in sublane layout (in-kernel column reads out of a
-    # lane-major array cost a 128-wide read + rotate per component).
-    own_io = jnp.concatenate(
-        [posm, jnp.zeros((4,) + posm.shape[1:], jnp.float32)], axis=0
-    ).transpose(1, 2, 0).reshape(C, T, R, 8)
+    # Own rows in the dense (C, R, T·8) lane-group layout (make_own_pos):
+    # per-tile reads are static lane slices, and no 8-wide lane minor is
+    # ever stored (an (C, T, R, 8) operand tile-pads its minor to 128 —
+    # ~16x physical bytes).
+    own_io = make_own_pos(bins, spec)
     offsets_arr = jnp.asarray([(o[0], o[1]) for o in spec.offsets], jnp.int32)
     tilt = jnp.asarray(tilt_xy, jnp.float32).reshape(1)
 
@@ -868,7 +868,7 @@ def build_banded_blocks(
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tilt (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),        # jz table (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),        # posm_pad (whole)
-            pl.BlockSpec((1, T, R, 8), lambda c: (c, 0, 0, 0),
+            pl.BlockSpec((1, R, T * 8), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),        # own rows
         ],
         # Only the half stencil is built (the mirrors are transposes —

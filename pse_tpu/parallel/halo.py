@@ -85,7 +85,12 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         )
     nxl = ncx // D
     S = bs.bins.cap
-    spec_loc = bs._replace(bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)))
+    # classes=None: occupancy-class packing is per-shard-capacity territory
+    # (make_config(shard_slabs=D) never sets classes; strip them defensively
+    # for configs built single-chip).
+    spec_loc = bs._replace(
+        bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)), classes=None
+    )
     C_loc = (nxl + 2) * ncy
     interpret = integrator._pallas_interpret()
     perm_fwd = [(i, (i + 1) % D) for i in range(D)]
@@ -134,24 +139,48 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             offsets=offs,
         )
         if interpret:
-            blocks = jnp.zeros((1,), jnp.float32)   # unused placeholders
-            pos_cyc = jnp.zeros((1,), jnp.float32)
-            own_pos = jnp.zeros((1,), jnp.float32)
+            own_pos = jnp.zeros((1,), jnp.float32)   # unused placeholder
         else:
-            blocks, pos_cyc = bdn.build_banded_blocks(
-                bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
-                p.ewald_dr, j0, nv, zsh,
-            )
             own_pos = bdn.make_own_pos(bins_loc, spec_loc)
-        return blocks, pos_cyc, own_pos, j0, nv, zsh, ovf.reshape(1)
+        # Blocks/pos_cyc are NOT built here: the engine's build_mv runs the
+        # fused build + first matvec (bdn.build_mv_banded) shard-local, so
+        # the step's first near-field matvec never re-reads the A stream —
+        # same one-A-pass structure as the single-chip step.
+        return own_pos, j0, nv, zsh, ovf.reshape(1)
 
     blocks_spec = col_spec if not interpret else P(axis)
-    aux_spec = P(axis) if not interpret else P(axis)
+    aux_spec = P(axis)
     local_prepare = _shard_map(
         _local_prepare, mesh,
         in_specs=(P(axis, None),) * 4 + (P(),),
-        out_specs=(blocks_spec, aux_spec, aux_spec, col_spec, P(axis),
-                   col_spec, P(axis)),
+        out_specs=(aux_spec, col_spec, P(axis), col_spec, P(axis)),
+    )
+
+    # ---- shard-local fused build + first matvec (TPU only) ----------------
+    # Mirrors the single-chip engine's build_mv: one pass evaluates the pair
+    # coefficients, writes the per-shard A/pos_cyc, and applies them to the
+    # (multi-RHS) force windows.
+    def _local_build_mv(ownp_l, j0_l, nv_l, zsh_l, f_l, px, py, pz, mask,
+                        tilt):
+        NR = f_l.shape[0]
+        bins_loc = CellBins(
+            px=exchange_x(px, seam_shift=True), py=exchange_x(py),
+            pz=exchange_x(pz), mask=exchange_x(mask),
+            pid=None, cell_of=None, rank_of=None, overflow=None,
+        )
+        f_ext = exchange_x(f_l)
+        blocks, pos_cyc, u = bdn.build_mv_banded(
+            bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
+            p.ewald_dr, j0_l, nv_l, zsh_l, ownp_l, f_ext, p.self_mobility,
+        )
+        u = u.reshape(NR, nxl + 2, ncy, S)[:, 1:-1]
+        return blocks, pos_cyc, u.reshape(NR, nxl * ncy, S)
+
+    local_build_mv = _shard_map(
+        _local_build_mv, mesh,
+        in_specs=(aux_spec, col_spec, P(axis), col_spec, col_spec)
+        + (P(axis, None),) * 4 + (P(),),
+        out_specs=(blocks_spec, aux_spec, col_spec),
     )
 
     # ---- shard-local matvec: halo-exchange f, kernel, slice interior ------
@@ -198,9 +227,15 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     def prepare(config_, pos, box):
         nf_bins = bin_columns(pos, box, bs.bins)
         ff_bins = bin_particles(pos, box, integrator._ff_bin_spec(config))
-        blocks_e, pcyc_e, ownp_e, j0e, nve, zshe, ovf = _local_prepare_call(
+        ownp_e, j0e, nve, zshe, ovf = _local_prepare_call(
             nf_bins, box.tilt_xy
         )
+        if interpret:
+            # the reference matvec ignores blocks; keep (D,)-shaped
+            # placeholders so local_matvec's P(axis) in_specs hold
+            blocks_e = pcyc_e = jnp.zeros((D,), jnp.float32)
+        else:
+            blocks_e = pcyc_e = None      # filled by build_mv (fused build)
         ff_weights = integrator._ff_shared(config, ff_bins, box)
         overflow = (
             integrator._ovf(nf_bins.overflow, integrator.OVF_NF)
@@ -243,10 +278,20 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         return vec_to_cells(ctx.nf_bins, bs.bins, values)
 
     def build_mv(ctx, ft):
-        """Halo prepare builds the per-shard blocks up front (the fused
-        single-chip build+matvec kernel is not shard_map'd yet), so the
-        step's first matvec is a plain (multi-RHS) matvec here."""
-        return ctx, _matvec(ctx, ft)
+        """Fused shard-local build + first (multi-RHS) matvec: fills
+        ctx.blocks_e / ctx.pcyc_e and returns (ctx, M·ft) — the step's
+        first near-field matvec never re-reads the per-shard A stream,
+        matching the single-chip engine.  Off-TPU the pure-XLA reference
+        rebuilds pair functions per matvec anyway, so a plain matvec
+        serves (blocks stay placeholders)."""
+        if interpret:
+            return ctx, _matvec(ctx, ft)
+        b = ctx.nf_bins
+        blocks_e, pcyc_e, u = local_build_mv(
+            ctx.ownp_e, ctx.j0e, ctx.nve, ctx.zshe, ft,
+            b.px, b.py, b.pz, b.mask, ctx.tilt,
+        )
+        return ctx._replace(blocks_e=blocks_e, pcyc_e=pcyc_e), u
 
     def mreal_particles(ctx, forces):
         from ..cellbins import vec_from_cells, vec_to_cells

@@ -327,3 +327,45 @@ def test_nlist_tree_warns_stencil_is_genuine():
         pse.integrate.PSEv1(T=0.0, nlist_type="stencil"), verbose=False
     )
     assert sim.config.nbr_spec.subdiv == 2
+
+
+def test_lanczos_m_shrinks_after_transient():
+    """m_lanczos is not a ratchet: the periodic shrink probe
+    (integrator.M_SHRINK_PERIOD) lets a transiently-inflated warm start
+    decay back to the true requirement (the reference's is one-way,
+    Brownian.cu:604-736)."""
+    from pse_tpu import integrator
+
+    rng = np.random.default_rng(7)
+    n, L = 256, 24.0                      # dilute: true m is small
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg = integrator.make_config(
+        params, n, thermal=True, seed=3, engine="gather"
+    )
+
+    # Baseline: what does a cold start settle to?
+    st = integrator.make_state(pos)
+    st, info = integrator.step(cfg, st, jnp.zeros((n, 3)), 1.0, 1e-3, 0.0)
+    m_true = int(info["m_lanczos"])
+
+    # Inflate the warm start well past the requirement, step at a probe
+    # index (step 0 hits step % K == 0): m must come down by one.
+    st = integrator.make_state(pos)
+    st = st._replace(m_lanczos=jnp.asarray(m_true + 3, jnp.int32))
+    st, info = integrator.step(cfg, st, jnp.zeros((n, 3)), 1.0, 1e-3, 0.0)
+    assert int(info["m_lanczos"]) == m_true + 2
+
+    # Non-probe steps keep the floor (no shrink, no growth).
+    st2 = st._replace(m_lanczos=jnp.asarray(m_true + 2, jnp.int32))
+    st2, info2 = integrator.step(cfg, st2, jnp.zeros((n, 3)), 1.0, 1e-3, 0.0)
+    assert int(info2["m_lanczos"]) == m_true + 2
+
+    # Probing every K steps decays all the way back to m_true.
+    st = integrator.make_state(pos)
+    st = st._replace(m_lanczos=jnp.asarray(m_true + 3, jnp.int32))
+    for k in range(4):
+        st = st._replace(step=jnp.asarray(k * integrator.M_SHRINK_PERIOD,
+                                          jnp.int32))
+        st, info = integrator.step(cfg, st, jnp.zeros((n, 3)), 1.0, 1e-3, 0.0)
+    assert int(info["m_lanczos"]) == m_true
