@@ -99,6 +99,15 @@ def _scatter_fields(pos_sorted, order, sorted_cid, rank_clip, c_total, cap):
     return px, py, pz, mask, pidf.astype(jnp.int32)
 
 
+def _scatter_values(vals_t, sorted_cid, rank_clip, c_total, cap):
+    """(3, N) cid-sorted values -> (3, C, cap), off-TPU fallback of the fill
+    kernel's v rows (same placement as vec_to_cells)."""
+    slot = sorted_cid * cap + rank_clip
+    out = jnp.zeros((3, c_total * cap), vals_t.dtype)
+    out = out.at[:, slot].set(vals_t, mode="drop")
+    return out.reshape(3, c_total, cap)
+
+
 def _use_fill_kernel(n: int) -> bool:
     """The ragged-shift fill reads its (4, N) source as a whole-array VMEM
     input; past ~4M particles that block alone crowds the ~128 MB VMEM, so
@@ -126,8 +135,12 @@ def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
     mode agrees at any width), and 256-wide reads keep the per-cell VMEM
     traffic bounded for any cap.
 
-    Output rows per cell: [x, y, z, mask, pid, 0, 0, 0]; pad slots get
-    mask 0 / pid n / positions 0 (the CellBins contract).
+    Output rows per cell: [x, y, z, mask, pid, vx, vy, vz]; pad slots get
+    mask 0 / pid n / positions 0 (the CellBins contract).  The v rows carry
+    optional per-particle VALUES (the step's forces) that ride the binning
+    sort as payloads — filling them here replaces an N-row XLA scatter
+    (vec_to_cells, measured ~0.97 ms/step each at bench scale) with three
+    already-paid-for output rows.
     """
     g = pl.program_id(0)
     for ci in range(cpg):
@@ -141,28 +154,33 @@ def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
         for k in range(cap_r // 128):
             win = pltpu.roll(
                 src_ref[:, pl.ds(a0 + 128 * k, 256)], sh, 1
-            )[:, :128]                                        # (4, 128)
+            )[:, :128]                                        # (8, 128)
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) + 128 * k
             valid = iota < cnt
             sl = slice(128 * k, 128 * (k + 1))
             out_ref[ci, 0:3, sl] = jnp.where(valid, win[0:3], 0.0)
             out_ref[ci, 3:4, sl] = jnp.where(valid, 1.0, 0.0)
             out_ref[ci, 4:5, sl] = jnp.where(valid, win[3:4], float(n))
-        out_ref[ci, 5:8] = jnp.zeros((3, cap_r), jnp.float32)
+            out_ref[ci, 5:8, sl] = jnp.where(valid, win[4:7], 0.0)
 
 
 def _fill_cells_pallas(pos_sorted_t, order, starts, counts, c_total, cap, n,
-                       interpret=False):
+                       interpret=False, values_t=None):
     """(4, N) cid-sorted rows -> px/py/pz/mask/pid in (C, cap) via the
     ragged-shift kernel.  ``pos_sorted_t`` rows are (x, y, z); ``order``
-    rides as the pid row (exact as f32 for N < 2^24)."""
+    rides as the pid row (exact as f32 for N < 2^24).
+
+    ``values_t``: optional (3, N) cid-sorted per-particle values (forces);
+    when given, an extra (3, C, cap) slot array is returned — see
+    _fill_kernel's v rows."""
     assert n < (1 << 24), "pid-as-f32 packing requires N < 2^24"
     cap_r = -(-cap // 128) * 128         # kernel writes full 128-lane chunks
     n_pad = -(-n // 128) * 128 + cap_r + 128
-    src = jnp.concatenate(
-        [pos_sorted_t, order.astype(jnp.float32)[None]], axis=0
-    )                                                     # (4, N)
-    src = jnp.pad(src, ((0, 0), (0, n_pad - n)))
+    rows = [pos_sorted_t, order.astype(jnp.float32)[None]]
+    if values_t is not None:
+        rows.append(values_t)
+    src = jnp.concatenate(rows, axis=0)                   # (4 or 7, N)
+    src = jnp.pad(src, ((0, 8 - src.shape[0]), (0, n_pad - n)))
     cpg = next((d for d in (8, 4, 2) if c_total % d == 0), 1)
     starts_ext = jnp.minimum(starts, jnp.int32(n))
     out = pl.pallas_call(
@@ -183,7 +201,10 @@ def _fill_cells_pallas(pos_sorted_t, order, starts, counts, c_total, cap, n,
         interpret=interpret,
     )(starts_ext, counts, src)
     px, py, pz, mask, pidf = (out[:, k, :cap] for k in range(5))
-    return px, py, pz, mask, pidf.astype(jnp.int32)
+    fields = (px, py, pz, mask, pidf.astype(jnp.int32))
+    if values_t is not None:
+        fields += (jnp.moveaxis(out[:, 5:8, :cap], 1, 0),)  # (3, C, cap)
+    return fields
 
 
 def _cell_starts_counts(sorted_cid, c_total, cap):
@@ -212,7 +233,16 @@ def choose_cap(mean_occupancy: float, multiple: int = 8, slack_sigmas: float = 5
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
+def bin_particles(pos: jax.Array, box: Box, spec: BinSpec,
+                  values: jax.Array | None = None):
+    """Bin particles into (C, cap) slot layout.
+
+    ``values``: optional (N, 3) per-particle values (the step's forces) to
+    carry through the SAME binning — they ride the rank sort as payloads
+    and the fill kernel's spare output rows, so the slot-layout force array
+    costs ~nothing extra, vs ~0.97 ms/step for the vec_to_cells N-row XLA
+    scatter it replaces.  Returns (bins, (3, C, cap) values) when given.
+    """
     n = pos.shape[0]
     ncx, ncy, ncz = spec.n_cells
     cap = spec.cap
@@ -233,9 +263,12 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     # pos[order]/cid[order] gather measured ~0.8 ms at N=100k (XLA random
     # gathers serialize), while sort payload moves are vectorized.
     arange = jnp.arange(n, dtype=jnp.int32)
-    sorted_cid, order, sx, sy, sz = jax.lax.sort(
-        (cid, arange, pos[:, 0], pos[:, 1], pos[:, 2]), num_keys=2
-    )
+    payloads = (cid, arange, pos[:, 0], pos[:, 1], pos[:, 2])
+    if values is not None:
+        payloads += (values[:, 0], values[:, 1], values[:, 2])
+    sorted_all = jax.lax.sort(payloads, num_keys=2)
+    sorted_cid, order, sx, sy, sz = sorted_all[:5]
+    vals_t = jnp.stack(sorted_all[5:8], axis=0) if values is not None else None
     starts, counts, rank_sorted, overflow = _cell_starts_counts(
         sorted_cid, c_total, cap
     )
@@ -246,25 +279,34 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
         # Ragged-shift Pallas fill (the XLA row scatter serializes); off-TPU
         # keeps the scatter — interpret-mode Pallas costs minutes of compile
         # per binning config, and CPU scatters are fine.
-        px, py, pz, mask, pid = _fill_cells_pallas(
+        fields = _fill_cells_pallas(
             jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
-            c_total, cap, n,
+            c_total, cap, n, values_t=vals_t,
         )
+        px, py, pz, mask, pid = fields[:5]
+        fcells = fields[5] if values is not None else None
     else:
         px, py, pz, mask, pid = _scatter_fields(
             jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
             c_total, cap,
         )
+        fcells = (_scatter_values(vals_t, sorted_cid, rank_clip, c_total,
+                                  cap) if values is not None else None)
 
-    return CellBins(
+    bins = CellBins(
         px=px, py=py, pz=pz, mask=mask, pid=pid,
         cell_of=cid, rank_of=rank_of, overflow=overflow,
     )
+    return bins if values is None else (bins, fcells)
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
+def bin_columns(pos: jax.Array, box: Box, spec: BinSpec,
+                values: jax.Array | None = None):
     """Bin into (x, y) columns and sort by z WITHIN each column.
+
+    ``values``: optional (N, 3) per-particle values carried through the
+    same binning (see bin_particles) — returns (bins, (3, C, cap) values).
 
     Same padded layout/contract as ``bin_particles`` but with
     ``spec.n_cells = (ncx, ncy, 1)`` and slots ordered by ascending z inside
@@ -302,9 +344,12 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     # Lexicographic sort by (column, z, id): deterministic three-key device
     # sort; x/y positions ride as payloads (see bin_particles).
     arange = jnp.arange(n, dtype=jnp.int32)
-    sorted_cid, sz, order, sx, sy = jax.lax.sort(
-        (cid, z_c, arange, x_c, y_c), num_keys=3
-    )
+    payloads = (cid, z_c, arange, x_c, y_c)
+    if values is not None:
+        payloads += (values[:, 0], values[:, 1], values[:, 2])
+    sorted_all = jax.lax.sort(payloads, num_keys=3)
+    sorted_cid, sz, order, sx, sy = sorted_all[:5]
+    vals_t = jnp.stack(sorted_all[5:8], axis=0) if values is not None else None
     starts, counts, rank_sorted, overflow = _cell_starts_counts(
         sorted_cid, c_total, cap
     )
@@ -312,20 +357,25 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec) -> CellBins:
     rank_of = _invert_perm_payload(order, rank_sorted)
 
     if _use_fill_kernel(n):
-        px, py, pz, mask, pid = _fill_cells_pallas(
+        fields = _fill_cells_pallas(
             jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
-            c_total, cap, n,
+            c_total, cap, n, values_t=vals_t,
         )
+        px, py, pz, mask, pid = fields[:5]
+        fcells = fields[5] if values is not None else None
     else:
         px, py, pz, mask, pid = _scatter_fields(
             jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
             c_total, cap,
         )
+        fcells = (_scatter_values(vals_t, sorted_cid, rank_clip, c_total,
+                                  cap) if values is not None else None)
 
-    return CellBins(
+    bins = CellBins(
         px=px, py=py, pz=pz, mask=mask, pid=pid,
         cell_of=cid, rank_of=rank_of, overflow=overflow,
     )
+    return bins if values is None else (bins, fcells)
 
 
 def to_cells(bins: CellBins, spec: BinSpec, values: jax.Array, fill=0.0) -> jax.Array:

@@ -199,13 +199,34 @@ def make_config(
             n_particles, params.L, params.ewald_cut, max_tilt=max_tilt,
             block_dtype=block_dtype, ncx_multiple=shard_slabs,
         )
-        if shard_slabs == 1:
-            # Occupancy-class packed A (the halo engine keeps one class:
-            # its per-shard column sets make class capacities shard-local)
+        if band_spec is not None:
             counts = None
-            if positions is not None and band_spec is not None:
+            if positions is not None:
                 counts = bdn.measure_col_counts(band_spec, positions, params.L)
-            band_spec = bdn.make_band_classes(band_spec, n_particles, counts)
+            if shard_slabs == 1:
+                # Occupancy-class packed A (single-chip)
+                band_spec = bdn.make_band_classes(band_spec, n_particles,
+                                                  counts)
+            # Per-shard occupancy classes for the halo engine: sized on the
+            # EXTENDED local slab grid ((ncx/D + 2 halo layers)·ncy columns)
+            # to cover the worst slab — capacities are static and
+            # shard-uniform under SPMD (parallel/halo.py moves these into
+            # the local spec's ``classes``).  Computed for shard_slabs=1
+            # too: a D=1 halo mesh (tools/check_halo_tpu.py) then exercises
+            # the same packed-kernel path multi-chip runs take.
+            ncx, ncy, _ = band_spec.bins.n_cells
+            nxl = ncx // shard_slabs
+            loc = band_spec._replace(
+                bins=band_spec.bins._replace(n_cells=(nxl + 2, ncy, 1)),
+                classes=None,          # single-chip classes are global-grid
+            )
+            slab_counts = (None if counts is None else
+                           bdn.make_slab_counts(band_spec, shard_slabs,
+                                                counts))
+            n_loc = int(round(n_particles * (nxl + 2) / ncx))
+            loc = bdn.make_band_classes(loc, n_loc, slab_counts)
+            if loc.classes is not None:
+                band_spec = band_spec._replace(slab_classes=loc.classes)
         if ff_spec is None or band_spec is None:
             engine = "blocked"                 # geometry too small to band
             ff_spec = band_spec = None
@@ -297,13 +318,16 @@ def grow_config(
             bins=bins._replace(cap=int(-(-bins.cap * factor // 8)) * 8)
         )
     if (flags & OVF_CLASS and config.band_spec is not None
-            and config.band_spec.classes is not None):
+            and (config.band_spec.classes is not None
+                 or config.band_spec.slab_classes is not None)):
         # Class-capacity overflow (more high-occupancy columns than the
         # upper classes hold — a >=5sigma event at the chooser's margins):
         # drop back to the always-safe single class.  (The band-growth
         # block below also drops classes: a changed cap/rows invalidates
         # the per-class tile counts.)
-        changes["band_spec"] = config.band_spec._replace(classes=None)
+        changes["band_spec"] = config.band_spec._replace(
+            classes=None, slab_classes=None
+        )
     if config.band_spec is not None and flags & (OVF_NF | OVF_BAND):
         bs = config.band_spec
         rows, window = bs.rows, bs.window
@@ -326,7 +350,7 @@ def grow_config(
         cap = max(-(-cap // rows) * rows, window)
         changes["band_spec"] = bs._replace(
             bins=bs.bins._replace(cap=cap), rows=rows, window=window,
-            classes=None,
+            classes=None, slab_classes=None,
         )
     return dataclasses.replace(config, **changes)
 
@@ -362,6 +386,8 @@ class _BlockedCtx(NamedTuple):
     ff_bins: object
     blocks: jax.Array      # (noff, 6, C, cap, cap) stacked pair blocks
     ff_weights: object     # (noff, C, cap, s³) shared NUFFT weights, or None
+    nf_f: object = None    # (3, C, cap) forces binned with the positions
+    ff_f: object = None    # (3, C_ff, cap_ff) ditto on the far-field grid
 
 
 class _BandedCtx(NamedTuple):
@@ -379,6 +405,8 @@ class _BandedCtx(NamedTuple):
     ff_weights: object
     tilt: jax.Array        # () f32 box tilt (reference matvec needs it)
     cls: object = None     # (perm, inv) occupancy-class packing, or None
+    nf_f: object = None    # (3, C, cap) forces binned with the positions
+    ff_f: object = None    # (3, C_ff, cap_ff) ditto on the far-field grid
 
 
 def _pallas_interpret() -> bool:
@@ -401,7 +429,9 @@ def _irfft3(ghat, s):
     return jnp.fft.irfftn(ghat, s=s, axes=(1, 2, 3))
 
 
-def _prepare_gather(config, pos, box):
+def _prepare_gather(config, pos, box, forces=None):
+    # ``forces`` ignored: the gather engine works in particle layout (its
+    # f_slots_t is a transpose), nothing to pre-bin.
     p = config.params
     nlist = build_neighbor_list(pos, box, config.nbr_spec)
     coeffs = nearfield.precompute_pair_coeffs(
@@ -433,15 +463,22 @@ def _ff_shared(config, ff_bins, box):
 
 
 def _ff_spread(config, ctx, box, forces):
-    """Particle forces (N, 3) -> force-moment grid (3, Nx, Ny, Nz)."""
+    """Particle forces (N, 3) -> force-moment grid (3, Nx, Ny, Nz).
+
+    When prepare binned the SAME forces alongside the positions
+    (ctx.ff_f), the slot layout is already built; the vec_to_cells scatter
+    only runs for ad-hoc calls (prepare without forces)."""
+    f_cells = getattr(ctx, "ff_f", None)
     if config.colff_spec is not None:
         spec = config.colff_spec
-        f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
+        if f_cells is None:
+            f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
         return cff.spread_col_auto(
             ctx.ff_bins, f_cells, box, spec, config.params, ctx.ff_weights
         )
     spec = config.ff_spec
-    f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
+    if f_cells is None:
+        f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
     return bff.spread_blocked(
         ctx.ff_bins, f_cells, box, spec, config.params, weights=ctx.ff_weights
     )
@@ -463,23 +500,43 @@ def _ff_contract(config, ctx, box, grid_v):
     return vec_from_cells(ctx.ff_bins, spec.bins, u_cells)
 
 
-def _prepare_blocked(config, pos, box):
+def _prepare_blocked(config, pos, box, forces=None):
     p = config.params
-    nf_bins = bin_particles(pos, box, config.nf_spec.bins)
-    ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
+    nf_bins, ff_bins, nf_f, ff_f = _bin_both(
+        config, pos, box, config.nf_spec.bins, bin_particles, forces
+    )
     blocks = bnf.build_pair_blocks(
         nf_bins, box, config.nf_spec, config.cheb, p.ewald_cut, p.ewald_dr
     )
     ff_weights = _ff_shared(config, ff_bins, box)
     overflow = _ovf(nf_bins.overflow, OVF_NF) | _ovf(ff_bins.overflow, OVF_FF)
-    return _BlockedCtx(nf_bins, ff_bins, blocks, ff_weights), overflow
+    return (
+        _BlockedCtx(nf_bins, ff_bins, blocks, ff_weights, nf_f, ff_f),
+        overflow,
+    )
 
 
-def _prepare_banded(config, pos, box):
+def _bin_both(config, pos, box, nf_binspec, nf_binner, forces):
+    """The two per-step binnings (near-field layout + far-field grid),
+    with the step's forces riding each binning sort when given — the
+    slot-layout force arrays then cost three fill-kernel output rows
+    instead of one ~0.97 ms N-row XLA scatter EACH (vec_to_cells)."""
+    if forces is None:
+        nf_bins = nf_binner(pos, box, nf_binspec)
+        ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
+        return nf_bins, ff_bins, None, None
+    nf_bins, nf_f = nf_binner(pos, box, nf_binspec, values=forces)
+    ff_bins, ff_f = bin_particles(pos, box, _ff_bin_spec(config),
+                                  values=forces)
+    return nf_bins, ff_bins, nf_f, ff_f
+
+
+def _prepare_banded(config, pos, box, forces=None):
     p = config.params
     bs = config.band_spec
-    nf_bins = bin_columns(pos, box, bs.bins)
-    ff_bins = bin_particles(pos, box, _ff_bin_spec(config))
+    nf_bins, ff_bins, nf_f, ff_f = _bin_both(
+        config, pos, box, bs.bins, bin_columns, forces
+    )
     # Off-TPU the matvec runs the pure-XLA reference (gathers are fast on
     # CPU; interpret-mode Pallas costs minutes of compile per config), so
     # the pair blocks are only built for real Mosaic execution — and the
@@ -515,7 +572,7 @@ def _prepare_banded(config, pos, box):
     return (
         _BandedCtx(nf_bins, ff_bins, j0, n_valid, zsh, blocks, pos_cyc,
                    own_pos, ff_weights,
-                   jnp.asarray(box.tilt_xy, jnp.float32), cls),
+                   jnp.asarray(box.tilt_xy, jnp.float32), cls, nf_f, ff_f),
         overflow,
     )
 
@@ -678,6 +735,9 @@ def _engine(config: StepConfig):
     e.slots_of_psi = slots_of_psi
     e.psi_result_to_particles = psi_result_to_particles
     e.f_slots_t = f_slots_t
+    # forces pre-binned by prepare(..., forces=...), or None — step_impl /
+    # mobility_impl prefer this over the f_slots_t scatter
+    e.prepared_f = lambda ctx: getattr(ctx, "nf_f", None)
     if config.engine == "banded":
         e.mreal_t2 = mreal_t2
         e.build_mv = build_mv
@@ -691,6 +751,14 @@ def _engine(config: StepConfig):
 # ---------------------------------------------------------------------------
 # Public operators
 # ---------------------------------------------------------------------------
+
+
+def _f_cells(eng, ctx, forces):
+    """Forces in near-field slot layout: the copy prepare binned alongside
+    the positions when available, else the f_slots_t scatter."""
+    pf = getattr(eng, "prepared_f", None)
+    cells = pf(ctx) if pf is not None else None
+    return eng.f_slots_t(ctx, forces) if cells is None else cells
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -711,8 +779,8 @@ def mobility_impl(config: StepConfig, eng, pos, forces, tilt_xy=0.0):
     forces = jnp.asarray(forces, jnp.float32)
     box = _box_of(config, tilt_xy)
 
-    ctx, overflow = eng.prepare(config, pos, box)
-    ctx, u0 = eng.build_mv(ctx, eng.f_slots_t(ctx, forces))
+    ctx, overflow = eng.prepare(config, pos, box, forces)
+    ctx, u0 = eng.build_mv(ctx, _f_cells(eng, ctx, forces))
     u_real = eng.psi_result_to_particles(ctx, u0)
 
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
@@ -808,7 +876,9 @@ def step_impl(
 
     # --- pair data + binnings (shared by everything) -----------------------
     with jax.named_scope("pse_prepare"):
-        ctx, overflow = eng.prepare(config, pos, box)
+        ctx, overflow = eng.prepare(
+            config, pos, box, forces if config.has_forces else None
+        )
 
     # --- wave space: spread -> FFT -> Green (+noise) -> IFFT -> contract ---
     # Without external forces (pure Brownian runs, the reference's canonical
@@ -854,7 +924,7 @@ def step_impl(
             vnorm = jnp.sqrt(jnp.sum(psi * psi))           # psi: (3, C, cap)
             if fuse2:
                 ft = jnp.concatenate(
-                    [eng.f_slots_t(ctx, forces), psi / vnorm], axis=0
+                    [_f_cells(eng, ctx, forces), psi / vnorm], axis=0
                 )
             else:
                 ft = psi / vnorm
@@ -887,7 +957,7 @@ def step_impl(
         u = u + jnp.sqrt(2.0 * T / dt) * eng.psi_result_to_particles(ctx, u_sqrt)
     elif config.has_forces:
         with jax.named_scope("pse_nearfield"):
-            ctx, uF = eng.build_mv(ctx, eng.f_slots_t(ctx, forces))
+            ctx, uF = eng.build_mv(ctx, _f_cells(eng, ctx, forces))
             u = u + eng.psi_result_to_particles(ctx, uF)
 
     # --- Euler update with shear advection + PBC wrap ----------------------

@@ -90,8 +90,14 @@ class BandSpec(NamedTuple):
     # smallest class whose tile count covers ceil(n_valid/rows), so the A
     # stream and the build evaluation skip the all-pad tail tiles the 4-sigma
     # cap slack forces on the AVERAGE column (~15 of 18 tiles real at bench
-    # scale).  None = single class (off-TPU, halo shards, small configs).
+    # scale).  None = single class (off-TPU, small configs).
     classes: tuple | None = None
+    # Occupancy classes for the PER-SHARD extended slab grid of the halo
+    # engine (parallel/halo.py): sized over every slab's (nxl+2)*ncy local
+    # columns (capacities must be static and identical across shards —
+    # SPMD), moved into the local spec's ``classes`` by make_halo_engine.
+    # None = halo shards run a single class.
+    slab_classes: tuple | None = None
 
 
 def make_band_spec(
@@ -192,6 +198,25 @@ def measure_col_counts(spec: BandSpec, pos, L, tilt=0.0) -> "np.ndarray":
     return np.bincount(cx * ncy + cy, minlength=ncx * ncy)
 
 
+def make_slab_counts(spec: BandSpec, n_slabs: int, counts) -> "np.ndarray":
+    """(D, (nxl+2)*ncy) per-slab EXTENDED column counts from the global
+    measured (ncx*ncy,) histogram: each halo-engine shard owns ncx/D
+    x-layers plus one periodic halo layer per side (parallel/halo.py), and
+    builds blocks for all of them — class capacities must cover every
+    slab's extended column set (feed this to make_band_classes on the
+    LOCAL-grid spec)."""
+    import numpy as np
+
+    ncx, ncy, _ = spec.bins.n_cells
+    c = np.asarray(counts, np.int64).reshape(ncx, ncy)
+    nxl = ncx // n_slabs
+    out = []
+    for d in range(n_slabs):
+        xs = np.arange(d * nxl - 1, (d + 1) * nxl + 1) % ncx
+        out.append(c[xs].reshape(-1))
+    return np.stack(out)
+
+
 def make_band_classes(
     spec: BandSpec | None, n_particles: int, col_counts=None
 ) -> BandSpec | None:
@@ -213,6 +238,11 @@ def make_band_classes(
     a measurement, a Poisson model sizes conservative 3-class capacities.
     Either way, per-step assignment overflow is sticky (OVF_CLASS) and the
     regrow path re-measures or drops to a single class.
+
+    ``col_counts`` may be 2-D (K, C): K independent column SETS that must
+    ALL fit the chosen capacities (the halo engine's per-shard slabs —
+    capacities are static and shard-uniform under SPMD, so each class is
+    sized for the worst slab).
     """
     import numpy as np
 
@@ -235,9 +265,11 @@ def make_band_classes(
 
     if col_counts is not None:
         counts = np.asarray(col_counts, np.int64)
+        if counts.ndim == 1:
+            counts = counts[None]
         needs = -(-np.maximum(counts, 1) // R)
         soft = np.minimum(-(-(np.maximum(counts, 1) + R // 2) // R), t_cap)
-        if needs.shape[0] != C or needs.max() > t_cap:
+        if needs.shape[-1] != C or needs.max() > t_cap:
             return spec
 
         def cap_gt(t):
@@ -251,10 +283,10 @@ def make_band_classes(
             # histogram without losing most of the packing, so overflow is
             # handled by RE-MEASURING from current positions (Simulation.run
             # and bench.py both do) rather than by union-sizing here.
-            m = int((soft > t).sum())
+            m = int((soft > t).sum(axis=-1).max())
             return min(C, int(math.ceil(m + 2.5 * math.sqrt(max(m, 1.0)) + 8.0)))
 
-        cand_ts = sorted({int(t) for t in needs if t < t_cap})
+        cand_ts = sorted({int(t) for t in needs.ravel() if t < t_cap})
         best = None
         from itertools import combinations
 

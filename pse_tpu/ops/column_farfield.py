@@ -163,13 +163,23 @@ def build_col_factors(
 
     dyu = L[1] * fdy                                  # (C, 3sy, cap)
     dz = L[2] * fdz
-    dx = (L[0] * fdx)[:, :, None, :] + box.tilt_xy * dyu[:, None, :, :]
+    # Node order within 9·sx·sy is OFFSET-MAJOR: (ox, oy, sx, sy).  The
+    # spread fold (_windows_to_grid) then slices whole per-offset blocks
+    # off the 96 MB kernel output and overlap-adds BEFORE the minor-dim
+    # relayout — with offsets interleaved ((ox, sx, oy, sy)) the relayout
+    # ran on the full 9x window array (measured 0.46 ms reshape +
+    # 0.15 ms fold per with-forces step).
+    dxo = (L[0] * fdx).reshape(C, 3, sx, spec.bins.cap)
+    dyo = dyu.reshape(C, 3, sy, spec.bins.cap)
+    dx = dxo[:, :, None, :, None, :] + box.tilt_xy * dyo[:, None, :, None]
     # Factors are STORED in the matmul dtype (bf16 on TPU at error >= 1e-3):
     # both consumers cast them at the einsum anyway, so storing f32 just
     # doubled the build write + contract/spread read (wxy is 82 MB f32 at
     # bench scale).  The cast is fused into the exp fusions.
     dtype, _ = _matmul_dtype(spec)
-    wxy = jnp.exp(-expfac * (dx * dx + (dyu * dyu)[:, None, :, :]))
+    wxy = jnp.exp(
+        -expfac * (dx * dx + (dyo * dyo)[:, None, :, None])
+    )                                # (C, 3ox, 3oy, sx, sy, cap)
     wz = jnp.exp(-expfac * dz * dz) * bins.mask[:, None, :]
 
     return ColFactors(
@@ -200,27 +210,31 @@ def _grid_to_windows(grid: jax.Array, spec: ColFfSpec, params: PSEParams,
     # V[b, o] = blocks[b + o - 1] per axis (adjoint of the spread fold)
     gx = jnp.stack([jnp.roll(g, 1 - o, axis=0) for o in range(3)], axis=1)
     gxy = jnp.stack([jnp.roll(gx, 1 - o, axis=3) for o in range(3)], axis=4)
-    # (ncx, 3ox, sx, ncy, 3oy, sy, 3, Nz)
-    gxy = gxy.transpose(0, 3, 1, 2, 4, 5, 6, 7)
+    # (ncx, 3ox, sx, ncy, 3oy, sy, 3, Nz) -> offset-major node order
+    # (ox, oy, sx, sy), matching build_col_factors' wxy
+    gxy = gxy.transpose(0, 3, 1, 4, 2, 5, 6, 7)
     return gxy.reshape(ncx * ncy, 9 * sx * sy, 3 * params.Nz)
 
 
 def _windows_to_grid(out: jax.Array, spec: ColFfSpec, params: PSEParams):
-    """(C, 9·sx·sy, 3·Nz) -> (3, Nx, Ny, Nz) overlap-add on x and y."""
+    """(C, 9·sx·sy, 3·Nz) -> (3, Nx, Ny, Nz) overlap-add on x and y.
+
+    The node order is offset-major (build_col_factors), so each of the 9
+    offset contributions is a WHOLE sublane block of ``out`` — the fold
+    runs on layout-preserving slices of the 9x window array and only the
+    9x-smaller folded result pays the minor-dim relayout (splitting the
+    3·Nz lane dim).  With the offsets interleaved this relayout ran on the
+    full window array: 0.46 ms/step at bench scale."""
     sx, sy = spec.s
     ncx, ncy, _ = spec.bins.n_cells
-    out = out.reshape(ncx, ncy, 3, sx, 3, sy, 3, params.Nz)
-
-    def fold(a, o_axis, cell_axis):
-        parts = [jax.lax.index_in_dim(a, o, axis=o_axis, keepdims=False)
-                 for o in range(3)]
-        return sum(
-            jnp.roll(p, o - 1, axis=cell_axis) for o, p in enumerate(parts)
-        )
-
-    out = fold(out, 4, 1)        # oy: (ncx, ncy, 3ox, sx, sy, 3, Nz)
-    out = fold(out, 2, 0)        # ox: (ncx, ncy, sx, sy, 3, Nz)
-    grid = out.transpose(4, 0, 2, 1, 3, 5)       # (3, ncx, sx, ncy, sy, Nz)
+    out = out.reshape(ncx, ncy, 9, sx * sy, 3 * params.Nz)
+    acc = None
+    for o in range(9):
+        ox, oy = o // 3 - 1, o % 3 - 1
+        t = jnp.roll(out[:, :, o], (ox, oy), axis=(0, 1))
+        acc = t if acc is None else acc + t
+    acc = acc.reshape(ncx, ncy, sx, sy, 3, params.Nz)
+    grid = acc.transpose(4, 0, 2, 1, 3, 5)       # (3, ncx, sx, ncy, sy, Nz)
     return grid.reshape(3, params.Nx, params.Ny, params.Nz)
 
 
@@ -242,15 +256,18 @@ def spread_col(
     # outer-product fusion — materializing f32 and casting at the einsum
     # cost a second full-size pass over 95 MB at bench scale).
     # X[c, (k,z), p] = f[k,c,p]·wz[c,z,p] — cap-minor like the factors.
+    # prefac rides the small force operand (NOT the 95 MB einsum output);
+    # spread_col_pallas scales at the same point, keeping the two paths'
+    # rounding identical (the on-TPU gate pins them bitwise).
+    fp = f_cells * jnp.float32(params.spread_prefac)
     X = (
-        f_cells.transpose(1, 0, 2)[:, :, None, :]
+        fp.transpose(1, 0, 2)[:, :, None, :]
         * factors.wz[:, None, :, :]
     ).reshape(C, 3 * params.Nz, cap).astype(dtype)
     out = jnp.einsum(
         "cnp,cmp->cnm", factors.wxy.astype(dtype), X,
         preferred_element_type=jnp.float32, precision=precision,
     )                                            # (C, 9·sx·sy, 3·Nz)
-    out = out * jnp.float32(params.spread_prefac)
     return _windows_to_grid(out, spec, params)
 
 
@@ -315,10 +332,11 @@ def _contract_kernel(gext_ref, wxy_ref, wz_ref, u_ref, scr_ref, *,
                     sx * sy, 3 * nz
                 )
                 for ix in range(sx):
-                    # window node (dx·sx+ix, dy·sy+iy) -> wxy's x-major
-                    # flat order; f32 scratch dodges the bf16 odd-offset
-                    # partial-row store hazard (sy may be odd)
-                    r0 = (dx * sx + ix) * 3 * sy + dy * sy
+                    # window node (dx, dy, ix, iy) -> wxy's OFFSET-major
+                    # flat order (build_col_factors); f32 scratch dodges the
+                    # bf16 odd-offset partial-row store hazard (sy may be
+                    # odd)
+                    r0 = ((dx * 3 + dy) * sx + ix) * sy
                     scr_ref[r0:r0 + sy] = blk[
                         ix * sy:(ix + 1) * sy
                     ].astype(jnp.float32)
@@ -452,10 +470,16 @@ def spread_col_pallas(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
         interpret=interpret,
-    )(f_cells.transpose(1, 0, 2).astype(jnp.float32), factors.wxy,
-      factors.wz)
+    )(
+        # prefac rides the (3, C, cap) forces (~1/40th the elements):
+        # scaling the kernel OUTPUT cost a 0.40 ms full-pass multiply over
+        # the 96 MB window array per with-forces step
+        (f_cells * jnp.float32(params.spread_prefac))
+        .transpose(1, 0, 2).astype(jnp.float32),
+        factors.wxy,
+        factors.wz,
+    )
 
-    out = out * jnp.float32(params.spread_prefac)
     return _windows_to_grid(out, spec, params)
 
 

@@ -57,11 +57,17 @@ class _HaloCtx(NamedTuple):
     j0e: jax.Array         # (O, D*(nxl+2)*ncy, T) windows, slab-extended
     nve: jax.Array         # (D*(nxl+2)*ncy,) valid counts, slab-extended
     zshe: jax.Array        # (O, D*(nxl+2)*ncy, T) z-image shifts, slab-ext
-    blocks_e: jax.Array    # (1, D*(nxl+2)*ncy, 2, S, 5W) slab-ext coeffs
-    pcyc_e: jax.Array      # (D*(nxl+2)*ncy, 5, 3, SEXT) prefolded coords
-    ownp_e: jax.Array      # (D*(nxl+2)*ncy, R, T*8) own coords
+    blocks_e: object       # (1, D*(nxl+2)*ncy, 2, S, 5W) slab-ext coeffs
+                           #  (per-class tuple when slab classes are set)
+    pcyc_e: object         # (D*(nxl+2)*ncy, 5, 3, SEXT) prefolded coords
+                           #  (per-class tuple when slab classes are set)
+    ownp_e: object         # (D*(nxl+2)*ncy, R, T*8) own coords (per-class
+                           #  tuple of permuted copies when classes are set)
     ff_weights: object
     tilt: jax.Array        # () f32 (the reference matvec needs it)
+    cls: object = ()       # (perm, inv) per-shard class packing, or ()
+    nf_f: object = None    # (3, C, S) forces binned with the positions
+    ff_f: object = None    # (3, C_ff, cap_ff) ditto on the far-field grid
 
 
 def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
@@ -85,14 +91,20 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         )
     nxl = ncx // D
     S = bs.bins.cap
-    # classes=None: occupancy-class packing is per-shard-capacity territory
-    # (make_config(shard_slabs=D) never sets classes; strip them defensively
-    # for configs built single-chip).
-    spec_loc = bs._replace(
-        bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)), classes=None
-    )
-    C_loc = (nxl + 2) * ncy
     interpret = integrator._pallas_interpret()
+    # Per-shard occupancy classes: make_config(shard_slabs=D) sizes
+    # ``slab_classes`` on the extended local grid over the WORST slab
+    # (capacities must be static and shard-uniform under SPMD); each shard
+    # packs its own columns per step with its own class_assignment perm.
+    # Off-TPU the matvec runs the pure-XLA reference — no packing there.
+    spec_loc = bs._replace(
+        bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)),
+        classes=None if interpret else bs.slab_classes,
+        slab_classes=None,
+    )
+    has_cls = spec_loc.classes is not None
+    segs = bdn.class_segments(spec_loc) if has_cls else None
+    C_loc = (nxl + 2) * ncy
     perm_fwd = [(i, (i + 1) % D) for i in range(D)]
     perm_bwd = [(i, (i - 1) % D) for i in range(D)]
 
@@ -138,30 +150,50 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             bins_loc, spec_loc, box, p.ewald_cut, col_mask=col_ok,
             offsets=offs,
         )
+        covf = jnp.asarray(False)
+        pack = ()
         if interpret:
             own_pos = jnp.zeros((1,), jnp.float32)   # unused placeholder
         else:
             own_pos = bdn.make_own_pos(bins_loc, spec_loc)
+            if has_cls:
+                perm, inv, covf = bdn.class_assignment(spec_loc, nv)
+                pack = (perm, inv)
+                own_pos = tuple(
+                    jnp.take(own_pos, perm[off:off + ck], axis=0)
+                    for (tk, ck, off) in segs
+                )
         # Blocks/pos_cyc are NOT built here: the engine's build_mv runs the
         # fused build + first matvec (bdn.build_mv_banded) shard-local, so
         # the step's first near-field matvec never re-reads the A stream —
         # same one-A-pass structure as the single-chip step.
-        return own_pos, j0, nv, zsh, ovf.reshape(1)
+        return (own_pos, pack, j0, nv, zsh,
+                jnp.stack([ovf, covf]).reshape(2))
 
     blocks_spec = col_spec if not interpret else P(axis)
     aux_spec = P(axis)
+    if has_cls:
+        own_spec = tuple(aux_spec for _ in segs)
+        blocks_spec = tuple(blocks_spec for _ in segs)
+        pcyc_spec = tuple(aux_spec for _ in segs)
+        pack_spec = (P(axis), P(axis))
+    else:
+        own_spec = aux_spec
+        pcyc_spec = aux_spec
+        pack_spec = ()
     local_prepare = _shard_map(
         _local_prepare, mesh,
         in_specs=(P(axis, None),) * 4 + (P(),),
-        out_specs=(aux_spec, col_spec, P(axis), col_spec, P(axis)),
+        out_specs=(own_spec, pack_spec, col_spec, P(axis), col_spec,
+                   P(axis)),
     )
 
     # ---- shard-local fused build + first matvec (TPU only) ----------------
     # Mirrors the single-chip engine's build_mv: one pass evaluates the pair
     # coefficients, writes the per-shard A/pos_cyc, and applies them to the
     # (multi-RHS) force windows.
-    def _local_build_mv(ownp_l, j0_l, nv_l, zsh_l, f_l, px, py, pz, mask,
-                        tilt):
+    def _local_build_mv(ownp_l, pack_l, j0_l, nv_l, zsh_l, f_l, px, py, pz,
+                        mask, tilt):
         NR = f_l.shape[0]
         bins_loc = CellBins(
             px=exchange_x(px, seam_shift=True), py=exchange_x(py),
@@ -172,15 +204,16 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         blocks, pos_cyc, u = bdn.build_mv_banded(
             bins_loc, tilt, spec_loc, config.cheb, p.L, p.ewald_cut,
             p.ewald_dr, j0_l, nv_l, zsh_l, ownp_l, f_ext, p.self_mobility,
+            pack=pack_l or None,
         )
         u = u.reshape(NR, nxl + 2, ncy, S)[:, 1:-1]
         return blocks, pos_cyc, u.reshape(NR, nxl * ncy, S)
 
     local_build_mv = _shard_map(
         _local_build_mv, mesh,
-        in_specs=(aux_spec, col_spec, P(axis), col_spec, col_spec)
+        in_specs=(own_spec, pack_spec, col_spec, P(axis), col_spec, col_spec)
         + (P(axis, None),) * 4 + (P(),),
-        out_specs=(blocks_spec, aux_spec, col_spec),
+        out_specs=(blocks_spec, pcyc_spec, col_spec),
     )
 
     # ---- shard-local matvec: halo-exchange f, kernel, slice interior ------
@@ -188,8 +221,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     # coordinates (seam_shift keeps slab-local x physically contiguous for
     # the kernel's scalar-shift minimum image); only the TPU branch streams
     # the stored (imrr, bco/d²) coefficients.
-    def _local_matvec(blocks_l, pcyc_l, ownp_l, j0_l, nv_l, zsh_l, f_l,
-                      px, py, pz, mask, tilt):
+    def _local_matvec(blocks_l, pcyc_l, ownp_l, pack_l, j0_l, nv_l, zsh_l,
+                      f_l, px, py, pz, mask, tilt):
         NR = f_l.shape[0]                      # 3·nrhs stacked RHS rows
         f_ext = exchange_x(f_l)
         if interpret:
@@ -209,27 +242,36 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         else:
             u = bdn.matvec_banded(
                 blocks_l, pcyc_l, ownp_l, j0_l, nv_l, zsh_l, spec_loc,
-                f_ext, p.self_mobility, p.L,
+                f_ext, p.self_mobility, p.L, pack=pack_l or None,
             )
         u = u.reshape(NR, nxl + 2, ncy, S)[:, 1:-1]
         return u.reshape(NR, nxl * ncy, S)
 
     local_matvec = _shard_map(
         _local_matvec, mesh,
-        in_specs=(blocks_spec, aux_spec, aux_spec, col_spec, P(axis),
-                  col_spec, col_spec)
+        in_specs=(blocks_spec, pcyc_spec, own_spec, pack_spec, col_spec,
+                  P(axis), col_spec, col_spec)
         + (P(axis, None),) * 4 + (P(),),
         out_specs=col_spec,
     )
 
     base = integrator._engine(config)
 
-    def prepare(config_, pos, box):
-        nf_bins = bin_columns(pos, box, bs.bins)
-        ff_bins = bin_particles(pos, box, integrator._ff_bin_spec(config))
-        ownp_e, j0e, nve, zshe, ovf = _local_prepare_call(
+    def prepare(config_, pos, box, forces=None):
+        if forces is None:
+            nf_bins = bin_columns(pos, box, bs.bins)
+            ff_bins = bin_particles(pos, box,
+                                    integrator._ff_bin_spec(config))
+            nf_f = ff_f = None
+        else:
+            nf_bins, nf_f = bin_columns(pos, box, bs.bins, values=forces)
+            ff_bins, ff_f = bin_particles(
+                pos, box, integrator._ff_bin_spec(config), values=forces
+            )
+        ownp_e, pack, j0e, nve, zshe, ovf2 = _local_prepare_call(
             nf_bins, box.tilt_xy
         )
+        ovf2 = ovf2.reshape(-1, 2)          # (D, [band, class]) per shard
         if interpret:
             # the reference matvec ignores blocks; keep (D,)-shaped
             # placeholders so local_matvec's P(axis) in_specs hold
@@ -240,12 +282,14 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
         overflow = (
             integrator._ovf(nf_bins.overflow, integrator.OVF_NF)
             | integrator._ovf(ff_bins.overflow, integrator.OVF_FF)
-            | integrator._ovf(jnp.any(ovf), integrator.OVF_BAND)
+            | integrator._ovf(jnp.any(ovf2[:, 0]), integrator.OVF_BAND)
+            | integrator._ovf(jnp.any(ovf2[:, 1]), integrator.OVF_CLASS)
         )
         return (
             _HaloCtx(nf_bins, ff_bins, j0e, nve, zshe, blocks_e, pcyc_e,
                      ownp_e, ff_weights,
-                     jnp.asarray(box.tilt_xy, jnp.float32)),
+                     jnp.asarray(box.tilt_xy, jnp.float32), pack,
+                     nf_f, ff_f),
             overflow,
         )
 
@@ -258,8 +302,8 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     def _matvec(ctx, cells):
         b = ctx.nf_bins
         return local_matvec(
-            ctx.blocks_e, ctx.pcyc_e, ctx.ownp_e, ctx.j0e, ctx.nve,
-            ctx.zshe, cells, b.px, b.py, b.pz, b.mask, ctx.tilt,
+            ctx.blocks_e, ctx.pcyc_e, ctx.ownp_e, ctx.cls, ctx.j0e,
+            ctx.nve, ctx.zshe, cells, b.px, b.py, b.pz, b.mask, ctx.tilt,
         )
 
     def mreal_t(ctx, cells):
@@ -288,7 +332,7 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
             return ctx, _matvec(ctx, ft)
         b = ctx.nf_bins
         blocks_e, pcyc_e, u = local_build_mv(
-            ctx.ownp_e, ctx.j0e, ctx.nve, ctx.zshe, ft,
+            ctx.ownp_e, ctx.cls, ctx.j0e, ctx.nve, ctx.zshe, ft,
             b.px, b.py, b.pz, b.mask, ctx.tilt,
         )
         return ctx._replace(blocks_e=blocks_e, pcyc_e=pcyc_e), u
@@ -305,6 +349,7 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
 
     e = E()
     e.prepare = prepare
+    e.prepared_f = lambda ctx: ctx.nf_f
     e.mreal_t = mreal_t
     e.mreal_t2 = mreal_t2
     e.f_slots_t = f_slots_t

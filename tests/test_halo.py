@@ -101,3 +101,56 @@ def test_halo_requires_banded():
     cfg = integrator.make_config(params, 128, engine="gather")
     with pytest.raises(ValueError):
         halo.make_halo_engine(cfg, _mesh())
+
+
+def test_slab_class_sizing_covers_every_slab():
+    """make_config(shard_slabs=D, positions=...) sizes per-shard occupancy
+    classes on the EXTENDED local slab grid; the static shard-uniform
+    capacities must hold a numpy emulation of class_assignment on every
+    slab's measured needs (the real packed kernels only run on TPU)."""
+    from pse_tpu.ops import banded_nearfield as bdn
+
+    n, phi = 100_000, 0.45
+    L = float((n * (4.0 / 3.0) * np.pi / phi) ** (1.0 / 3.0))
+    rng = np.random.default_rng(11)
+    # Uniform positions ≈ a RELAXED suspension histogram.  A fresh lattice
+    # is the wrong input here on purpose: its aliased column spread
+    # overflows the 4σ cap itself (needs.max() > t_cap → no classes), which
+    # is exactly why Simulation/bench re-measure from relaxed positions.
+    pos = rng.uniform(-L / 2, L / 2, size=(n, 3)).astype(np.float32)
+
+    D = 2
+    params = pse.make_params(xi=0.5, error=1e-3, L=L)
+    cfg = integrator.make_config(
+        params, n, thermal=True, engine="banded", shard_slabs=D,
+        positions=pos,
+    )
+    bs = cfg.band_spec
+    assert bs.slab_classes is not None, "slab classes should form at this n"
+    ncx, ncy, _ = bs.bins.n_cells
+    nxl = ncx // D
+    C_loc = (nxl + 2) * ncy
+    assert sum(c for _, c in bs.slab_classes) == C_loc
+    assert bs.slab_classes[-1][0] == bs.bins.cap // bs.rows
+
+    counts = bdn.measure_col_counts(bs, pos, params.L)
+    slab_counts = bdn.make_slab_counts(bs, D, counts)
+    assert slab_counts.shape == (D, C_loc)
+    # make_slab_counts geometry: slab d = x-layers [d*nxl-1, (d+1)*nxl] mod ncx
+    cg = counts.reshape(ncx, ncy)
+    for d in range(D):
+        xs = np.arange(d * nxl - 1, (d + 1) * nxl + 1) % ncx
+        assert (slab_counts[d] == cg[xs].reshape(-1)).all()
+
+    # class_assignment emulation: per slab, sorted descending needs must fit
+    # the per-class capacities (largest class first, class_segments order)
+    loc = bs._replace(
+        bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)),
+        classes=bs.slab_classes, slab_classes=None,
+    )
+    R = bs.rows
+    for d in range(D):
+        need = -(-np.maximum(slab_counts[d], 1) // R)
+        need_desc = np.sort(need)[::-1]
+        for (tk, ck, off) in bdn.class_segments(loc):
+            assert need_desc[off] <= tk, (d, tk, ck, off, need_desc[off])

@@ -43,9 +43,10 @@ def main():
     params = pse.make_params(xi=0.5, error=1e-3, L=L)
     config = integrator.make_config(
         params, n, thermal=True, seed=1, engine="banded", has_forces=True,
-        shard_slabs=1,
+        shard_slabs=1, positions=pos,
     )
     assert config.engine == "banded"
+    print(f"slab classes: {config.band_spec.slab_classes}")
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("dp",))
 
@@ -58,6 +59,22 @@ def main():
     rel = float(jnp.max(jnp.abs(u_h - u_s)) / jnp.max(jnp.abs(u_s)))
     print(f"halo(D=1, TPU) vs single-chip mobility rel err: {rel:.2e}")
     assert rel < 1e-5, rel
+
+    if config.band_spec.slab_classes is not None:
+        # Per-shard occupancy-class packing vs the single-class halo path:
+        # identical pair coefficients in a different launch decomposition.
+        import dataclasses
+
+        cfg1 = dataclasses.replace(
+            config,
+            band_spec=config.band_spec._replace(slab_classes=None),
+        )
+        with mesh:
+            u_1, ovf_1 = halo.make_halo_mobility(cfg1, mesh)(pos, forces)
+        assert not int(ovf_1)
+        relc = float(jnp.max(jnp.abs(u_h - u_1)) / jnp.max(jnp.abs(u_1)))
+        print(f"halo classes vs single-class mobility rel err: {relc:.2e}")
+        assert relc < 1e-5, relc
 
     # one full thermal step (fuse2 path: build + M·F + first Lanczos matvec
     # in ONE shard-local fused kernel call)
