@@ -379,11 +379,17 @@ class Simulation:
                         bs, pos_h, self.config.params.L,
                         tilt=float(np.asarray(snapshot.tilt_xy)),
                     )
+                    new_bs = bdn.make_band_classes(bs, pos_h.shape[0], counts)
+                    # configs built for halo slabs (shard_slabs > 1) also
+                    # re-measure the per-shard classes grow_config dropped
+                    from pse_tpu.integrator import _size_slab_classes
+
+                    new_bs = _size_slab_classes(
+                        new_bs, self.config.shard_slabs, pos_h.shape[0],
+                        counts,
+                    )
                     self.config = dataclasses.replace(
-                        self.config,
-                        band_spec=bdn.make_band_classes(
-                            bs, pos_h.shape[0], counts
-                        ),
+                        self.config, band_spec=new_bs
                     )
                 self.state = snapshot
                 self.metrics["overflow_retries"] += 1

@@ -108,17 +108,20 @@ def _scatter_values(vals_t, sorted_cid, rank_clip, c_total, cap):
     return out.reshape(3, c_total, cap)
 
 
-def _use_fill_kernel(n: int) -> bool:
+def _use_fill_kernel(n: int, with_values: bool = False) -> bool:
     """The ragged-shift fill reads its (4, N) source as a whole-array VMEM
     input; past ~4M particles that block alone crowds the ~128 MB VMEM, so
     very large single-shard binnings keep the XLA scatter (the halo path
-    shards bins per device long before this matters)."""
+    shards bins per device long before this matters).  With value rows the
+    source doubles to (8, N) — halve the cutoff."""
     import jax
 
-    return jax.default_backend() == "tpu" and n <= 4_000_000
+    cap = 2_000_000 if with_values else 4_000_000
+    return jax.default_backend() == "tpu" and n <= cap
 
 
-def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
+def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n,
+                 has_values):
     """Grid (C // cpg,): per cell, 128-aligned wide reads of the cid-sorted
     source rows at starts[c] + a lane roll + a count mask.
 
@@ -136,11 +139,13 @@ def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
     traffic bounded for any cap.
 
     Output rows per cell: [x, y, z, mask, pid, vx, vy, vz]; pad slots get
-    mask 0 / pid n / positions 0 (the CellBins contract).  The v rows carry
-    optional per-particle VALUES (the step's forces) that ride the binning
-    sort as payloads — filling them here replaces an N-row XLA scatter
-    (vec_to_cells, measured ~0.97 ms/step each at bench scale) with three
-    already-paid-for output rows.
+    mask 0 / pid n / positions 0 (the CellBins contract).  With
+    ``has_values``, the v rows carry per-particle VALUES (the step's
+    forces) that ride the binning sort as payloads — filling them here
+    replaces an N-row XLA scatter (vec_to_cells, measured ~0.97 ms/step
+    each at bench scale) with three already-paid-for output rows; without,
+    the source stays (4, N) (half the whole-array VMEM residency) and the
+    v rows are zeroed once per cell.
     """
     g = pl.program_id(0)
     for ci in range(cpg):
@@ -154,14 +159,17 @@ def _fill_kernel(starts_ref, counts_ref, src_ref, out_ref, *, cap_r, cpg, n):
         for k in range(cap_r // 128):
             win = pltpu.roll(
                 src_ref[:, pl.ds(a0 + 128 * k, 256)], sh, 1
-            )[:, :128]                                        # (8, 128)
+            )[:, :128]                                   # (4 or 8, 128)
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) + 128 * k
             valid = iota < cnt
             sl = slice(128 * k, 128 * (k + 1))
             out_ref[ci, 0:3, sl] = jnp.where(valid, win[0:3], 0.0)
             out_ref[ci, 3:4, sl] = jnp.where(valid, 1.0, 0.0)
             out_ref[ci, 4:5, sl] = jnp.where(valid, win[3:4], float(n))
-            out_ref[ci, 5:8, sl] = jnp.where(valid, win[4:7], 0.0)
+            if has_values:
+                out_ref[ci, 5:8, sl] = jnp.where(valid, win[4:7], 0.0)
+        if not has_values:
+            out_ref[ci, 5:8] = jnp.zeros((3, cap_r), jnp.float32)
 
 
 def _fill_cells_pallas(pos_sorted_t, order, starts, counts, c_total, cap, n,
@@ -180,11 +188,15 @@ def _fill_cells_pallas(pos_sorted_t, order, starts, counts, c_total, cap, n,
     if values_t is not None:
         rows.append(values_t)
     src = jnp.concatenate(rows, axis=0)                   # (4 or 7, N)
-    src = jnp.pad(src, ((0, 8 - src.shape[0]), (0, n_pad - n)))
+    src = jnp.pad(
+        src, ((0, (8 if values_t is not None else 4) - src.shape[0]),
+              (0, n_pad - n))
+    )
     cpg = next((d for d in (8, 4, 2) if c_total % d == 0), 1)
     starts_ext = jnp.minimum(starts, jnp.int32(n))
     out = pl.pallas_call(
-        partial(_fill_kernel, cap_r=cap_r, cpg=cpg, n=n),
+        partial(_fill_kernel, cap_r=cap_r, cpg=cpg, n=n,
+                has_values=values_t is not None),
         grid=(c_total // cpg,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # starts (C,)
@@ -278,13 +290,19 @@ def bin_particles(pos: jax.Array, box: Box, spec: BinSpec,
     if _use_fill_kernel(n):
         # Ragged-shift Pallas fill (the XLA row scatter serializes); off-TPU
         # keeps the scatter — interpret-mode Pallas costs minutes of compile
-        # per binning config, and CPU scatters are fine.
+        # per binning config, and CPU scatters are fine.  Values ride the
+        # fill only while the doubled (8, N) source still fits VMEM; in the
+        # 2M-4M gap they fall back to the scatter alone.
+        fill_v = vals_t if _use_fill_kernel(n, True) else None
         fields = _fill_cells_pallas(
             jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
-            c_total, cap, n, values_t=vals_t,
+            c_total, cap, n, values_t=fill_v,
         )
         px, py, pz, mask, pid = fields[:5]
-        fcells = fields[5] if values is not None else None
+        fcells = fields[5] if fill_v is not None else (
+            _scatter_values(vals_t, sorted_cid, rank_clip, c_total, cap)
+            if values is not None else None
+        )
     else:
         px, py, pz, mask, pid = _scatter_fields(
             jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,
@@ -357,12 +375,16 @@ def bin_columns(pos: jax.Array, box: Box, spec: BinSpec,
     rank_of = _invert_perm_payload(order, rank_sorted)
 
     if _use_fill_kernel(n):
+        fill_v = vals_t if _use_fill_kernel(n, True) else None
         fields = _fill_cells_pallas(
             jnp.stack([sx, sy, sz], axis=0), order, starts, counts,
-            c_total, cap, n, values_t=vals_t,
+            c_total, cap, n, values_t=fill_v,
         )
         px, py, pz, mask, pid = fields[:5]
-        fcells = fields[5] if values is not None else None
+        fcells = fields[5] if fill_v is not None else (
+            _scatter_values(vals_t, sorted_cid, rank_clip, c_total, cap)
+            if values is not None else None
+        )
     else:
         px, py, pz, mask, pid = _scatter_fields(
             jnp.stack([sx, sy, sz], axis=1), order, sorted_cid, rank_clip,

@@ -119,6 +119,10 @@ class StepConfig:
     has_forces: bool = True                # compile the deterministic M·F path
     band_spec: Optional[bdn.BandSpec] = None
     colff_spec: Optional[cff.ColFfSpec] = None   # z-column far field (preferred)
+    shard_slabs: int = 1                   # halo x-slab count the config was
+                                           # built for (sizes slab_classes;
+                                           # recorded so regrow paths can
+                                           # re-measure per-slab classes)
 
     def __post_init__(self):
         # Invariant: a step must compile at least one of the two branches.
@@ -136,8 +140,30 @@ class StepConfig:
         return hash(
             (self.params, self.nbr_spec, self.thermal, self.m_max, self.seed,
              self.engine, self.nf_spec, self.ff_spec, self.has_forces,
-             self.band_spec, self.colff_spec)
+             self.band_spec, self.colff_spec, self.shard_slabs)
         )
+
+
+def _size_slab_classes(band_spec, shard_slabs, n_particles, counts):
+    """Per-shard occupancy classes for the halo engine: sized on the
+    EXTENDED local slab grid ((ncx/D + 2 halo layers)·ncy columns) to cover
+    the worst slab — capacities are static and shard-uniform under SPMD
+    (parallel/halo.py moves these into the local spec's ``classes``).
+    Computed for shard_slabs=1 too: a D=1 halo mesh
+    (tools/check_halo_tpu.py) then exercises the same packed-kernel path
+    multi-chip runs take.  ``counts``: global measured column histogram or
+    None (Poisson model)."""
+    ncx, ncy, _ = band_spec.bins.n_cells
+    nxl = ncx // shard_slabs
+    loc = band_spec._replace(
+        bins=band_spec.bins._replace(n_cells=(nxl + 2, ncy, 1)),
+        classes=None,              # single-chip classes are global-grid
+    )
+    slab_counts = (None if counts is None else
+                   bdn.make_slab_counts(band_spec, shard_slabs, counts))
+    n_loc = int(round(n_particles * (nxl + 2) / ncx))
+    loc = bdn.make_band_classes(loc, n_loc, slab_counts)
+    return band_spec._replace(slab_classes=loc.classes)
 
 
 def make_config(
@@ -207,26 +233,8 @@ def make_config(
                 # Occupancy-class packed A (single-chip)
                 band_spec = bdn.make_band_classes(band_spec, n_particles,
                                                   counts)
-            # Per-shard occupancy classes for the halo engine: sized on the
-            # EXTENDED local slab grid ((ncx/D + 2 halo layers)·ncy columns)
-            # to cover the worst slab — capacities are static and
-            # shard-uniform under SPMD (parallel/halo.py moves these into
-            # the local spec's ``classes``).  Computed for shard_slabs=1
-            # too: a D=1 halo mesh (tools/check_halo_tpu.py) then exercises
-            # the same packed-kernel path multi-chip runs take.
-            ncx, ncy, _ = band_spec.bins.n_cells
-            nxl = ncx // shard_slabs
-            loc = band_spec._replace(
-                bins=band_spec.bins._replace(n_cells=(nxl + 2, ncy, 1)),
-                classes=None,          # single-chip classes are global-grid
-            )
-            slab_counts = (None if counts is None else
-                           bdn.make_slab_counts(band_spec, shard_slabs,
-                                                counts))
-            n_loc = int(round(n_particles * (nxl + 2) / ncx))
-            loc = bdn.make_band_classes(loc, n_loc, slab_counts)
-            if loc.classes is not None:
-                band_spec = band_spec._replace(slab_classes=loc.classes)
+            band_spec = _size_slab_classes(band_spec, shard_slabs,
+                                           n_particles, counts)
         if ff_spec is None or band_spec is None:
             engine = "blocked"                 # geometry too small to band
             ff_spec = band_spec = None
@@ -266,6 +274,7 @@ def make_config(
         params=params, nbr_spec=nbr_spec, thermal=thermal, m_max=m_max,
         seed=seed, engine=engine, nf_spec=nf_spec, ff_spec=ff_spec, cheb=cheb,
         has_forces=has_forces, band_spec=band_spec, colff_spec=colff_spec,
+        shard_slabs=shard_slabs,
     )
 
 
@@ -465,22 +474,23 @@ def _ff_shared(config, ff_bins, box):
 def _ff_spread(config, ctx, box, forces):
     """Particle forces (N, 3) -> force-moment grid (3, Nx, Ny, Nz).
 
-    When prepare binned the SAME forces alongside the positions
-    (ctx.ff_f), the slot layout is already built; the vec_to_cells scatter
-    only runs for ad-hoc calls (prepare without forces)."""
-    f_cells = getattr(ctx, "ff_f", None)
+    ``forces=None`` is the EXPLICIT opt-in for the slot-layout copy
+    prepare binned alongside the positions (ctx.ff_f); passing a vector
+    always spreads that vector (vec_to_cells), so ad-hoc callers can never
+    silently get prepare's forces instead of their own."""
+    if forces is None:
+        f_cells = ctx.ff_f
+        assert f_cells is not None, "spread(None) needs prepare(forces=...)"
+    else:
+        f_cells = vec_to_cells(ctx.ff_bins, _ff_bin_spec(config), forces)
     if config.colff_spec is not None:
-        spec = config.colff_spec
-        if f_cells is None:
-            f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
         return cff.spread_col_auto(
-            ctx.ff_bins, f_cells, box, spec, config.params, ctx.ff_weights
+            ctx.ff_bins, f_cells, box, config.colff_spec, config.params,
+            ctx.ff_weights,
         )
-    spec = config.ff_spec
-    if f_cells is None:
-        f_cells = vec_to_cells(ctx.ff_bins, spec.bins, forces)
     return bff.spread_blocked(
-        ctx.ff_bins, f_cells, box, spec, config.params, weights=ctx.ff_weights
+        ctx.ff_bins, f_cells, box, config.ff_spec, config.params,
+        weights=ctx.ff_weights,
     )
 
 
@@ -784,7 +794,10 @@ def mobility_impl(config: StepConfig, eng, pos, forces, tilt_xy=0.0):
     u_real = eng.psi_result_to_particles(ctx, u0)
 
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
-    grid = eng.spread(ctx, box, forces)
+    grid = eng.spread(
+        ctx, box,
+        None if getattr(ctx, "ff_f", None) is not None else forces,
+    )
     ghat = _rfft3(grid)
     ghat = farfield.apply_green(ghat, kvec, W)
     grid_v = _irfft3(ghat, (p.Nx, p.Ny, p.Nz))
@@ -888,7 +901,12 @@ def step_impl(
     kvec, W = gridk_arrays(p, box.tilt_xy, half=True)
     if config.has_forces:
         with jax.named_scope("pse_spread"):
-            grid = eng.spread(ctx, box, forces)
+            # None = spread the pre-binned prepare(forces) slots (engines
+            # without pre-binning, e.g. gather, have no ctx.ff_f)
+            grid = eng.spread(
+                ctx, box,
+                None if getattr(ctx, "ff_f", None) is not None else forces,
+            )
         with jax.named_scope("pse_fft"):
             ghat = _rfft3(grid)
         with jax.named_scope("pse_green"):
@@ -935,8 +953,16 @@ def step_impl(
             else:
                 w0 = u0
                 if config.has_forces:
-                    # engines without a multi-RHS matvec (gather/blocked)
-                    u = u + eng.mreal_particles(ctx, forces)
+                    # engines without a multi-RHS matvec (gather/blocked);
+                    # blocked still consumes the pre-binned force slots
+                    # (mreal_particles would redo the vec_to_cells scatter)
+                    fc = getattr(eng, "prepared_f", lambda c: None)(ctx)
+                    if fc is not None:
+                        u = u + eng.psi_result_to_particles(
+                            ctx, eng.mreal_t(ctx, fc)
+                        )
+                    else:
+                        u = u + eng.mreal_particles(ctx, forces)
         with jax.named_scope("pse_lanczos"):
             # Shrink probe (see M_SHRINK_PERIOD): every K-th step starts
             # the convergence test one iteration early so the persisted m

@@ -97,9 +97,15 @@ def make_halo_engine(config: integrator.StepConfig, mesh: Mesh, axis="dp"):
     # (capacities must be static and shard-uniform under SPMD); each shard
     # packs its own columns per step with its own class_assignment perm.
     # Off-TPU the matvec runs the pure-XLA reference — no packing there.
+    slab_cls = None if interpret else bs.slab_classes
+    if slab_cls is not None and sum(c for _, c in slab_cls) != (nxl + 2) * ncy:
+        # slab_classes were sized for a different slab count (make_config's
+        # shard_slabs != this mesh's D): capacities don't match the local
+        # grid — fall back to a single class rather than mis-pack
+        slab_cls = None
     spec_loc = bs._replace(
         bins=bs.bins._replace(n_cells=(nxl + 2, ncy, 1)),
-        classes=None if interpret else bs.slab_classes,
+        classes=slab_cls,
         slab_classes=None,
     )
     has_cls = spec_loc.classes is not None

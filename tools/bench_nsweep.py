@@ -8,6 +8,7 @@ Run alone (one TPU process at a time):
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -18,7 +19,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     args = ap.parse_args()
 
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    )
     import bench
 
     rows = []
