@@ -464,6 +464,24 @@ def main():
         "north_star_chip": "v5p (BASELINE.json); bench chip above",
         "results": results,
     }
+    # MERGE with the existing file: rows this run did not re-measure (xi
+    # sweep points, tools/bench_nsweep N rows) and extra top-level sections
+    # (step_split, nsweep) are measurement artifacts — a headline-only run
+    # must not erase them.
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+    if isinstance(prev, dict):
+        def _key(r):
+            return (r.get("workload"), r.get("xi"), r.get("n"))
+        new_keys = {_key(r) for r in results}
+        details["results"] = results + [
+            r for r in prev.get("results", []) if _key(r) not in new_keys
+        ]
+        for k, v in prev.items():
+            details.setdefault(k, v)
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=1)
 
