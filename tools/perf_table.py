@@ -16,13 +16,15 @@ def main():
         data = json.load(f)
     # r4 schema: {chip, north_star_chip, results: [...]}; pre-r4: bare list.
     rows = data.get("results", data) if isinstance(data, dict) else data
-    print("| workload | ξ | grid | rcut | engine | m | p-steps/s | vs 1e7 |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| workload | N | ξ | grid | rcut | engine | m | p-steps/s "
+          "| vs 1e7 |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         g = "×".join(str(x) for x in r["grid"])
         v = r["particle_steps_per_sec"]
+        n = r.get("n", 100_000)       # headline rows predate the n field
         print(
-            f"| {r['workload']} | {r['xi']} | {g} | {r['rcut']:.2f} "
+            f"| {r['workload']} | {n:,} | {r['xi']} | {g} | {r['rcut']:.2f} "
             f"| {r['engine']} | {r.get('m_lanczos', '—')} "
             f"| {v:,.0f} | {v / 1e7:.3f} |"
         )
