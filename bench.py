@@ -95,10 +95,16 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
         # The initial lattice MELTS toward uniform over the first few
         # hundred steps (tools/diag_classes.py: count-drift rms 26 after
         # 25 steps), so occupancy classes sized at t=0 overflow mid-run.
-        # Deterministic 2-compile flow instead of overflow-retry roulette:
+        # Deterministic compile flow instead of overflow-retry roulette:
         # relax on the (always-safe) single-class program first, then size
         # the classes from the RELAXED histogram and compile the packed
-        # program that gets timed.
+        # program that gets timed.  A relaxation overflow (denser lattices
+        # at other N are far more column-commensurate than the N=100k one
+        # — the first N=300k run hit mask 0x5) grows the spec and
+        # RE-RELAXES on the grown single-class program, so the timed
+        # program still gets occupancy classes instead of inheriting
+        # grown single-class capacities (whose all-pad tail tiles are
+        # exactly what class packing exists to skip).
         import dataclasses
 
         if config.band_spec.classes is not None:
@@ -106,27 +112,29 @@ def run_bench(n=100_000, phi=0.45, xi=0.5, has_forces=False, n_warm=1,
                 config,
                 band_spec=config.band_spec._replace(classes=None),
             )
-        run_chunk = make_chunk(config)
-        state = run_chunk(state)
-        relaxed = np.asarray(state.pos)
-        if bool(state.nbr_overflow):
+        for _relax_try in range(3):
+            run_chunk = make_chunk(config)
+            state = run_chunk(state)
+            relaxed = np.asarray(state.pos)
+            if not bool(state.nbr_overflow):
+                from pse_tpu.ops import banded_nearfield as bdn
+
+                bs = config.band_spec
+                counts = bdn.measure_col_counts(bs, relaxed, params.L)
+                config = dataclasses.replace(
+                    config,
+                    band_spec=bdn.make_band_classes(bs, n, counts),
+                )
+                print(f"# occupancy classes (from {chunk}-step relaxed "
+                      f"histogram): {config.band_spec.classes}",
+                      file=sys.stderr)
+                state = integrator.make_state(relaxed)
+                break
             flags = int(state.nbr_overflow)
             config = integrator.grow_config(config, flags=flags)
             print(f"# relaxation overflow at xi={xi} (mask={flags:#x}): "
-                  "grew spec", file=sys.stderr)
+                  "grew spec, re-relaxing", file=sys.stderr)
             state = integrator.make_state(pos)
-        else:
-            from pse_tpu.ops import banded_nearfield as bdn
-
-            bs = config.band_spec
-            counts = bdn.measure_col_counts(bs, relaxed, params.L)
-            config = dataclasses.replace(
-                config,
-                band_spec=bdn.make_band_classes(bs, n, counts),
-            )
-            print(f"# occupancy classes (from {chunk}-step relaxed "
-                  f"histogram): {config.band_spec.classes}", file=sys.stderr)
-            state = integrator.make_state(relaxed)
 
     run_chunk = make_chunk(config)
     n_chunks = max(1, n_steps // chunk)
