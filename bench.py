@@ -444,10 +444,11 @@ def main():
               f"(m={r['m_lanczos']})", file=sys.stderr)
     if args.sweep:
         # 0.55-0.75 joined after the r4/r5 far-field + spread cuts moved
-        # the balance (VERDICT r4 item 3); measured curve 2026-08-20:
-        # 0.5: 7.45e6 / 0.55: 3.62e6 (mid-relax regrow) / 0.6: 5.26e6
-        # (regrow) / 0.65: 7.34e6 / 0.7: 7.15e6 / 0.75: 7.18e6 — ξ=0.5
-        # stays optimal; the 0.65-0.75 plateau is within 4%.
+        # the balance (VERDICT r4 item 3); measured curve (2026-08-21,
+        # re-relax flow so every point keeps class packing): 0.5: 7.45e6 /
+        # 0.55: 4.93e6 (margin-17 window forces W=192) / 0.6: 7.26e6 /
+        # 0.65: 7.34e6 / 0.7: 7.15e6 / 0.75: 7.18e6 — ξ=0.5 stays
+        # optimal; the 0.6-0.75 plateau is within ~4%.
         for xi in (0.55, 0.6, 0.65, 0.7, 0.75):
             # a sweep-point failure must not lose the headline result
             try:
